@@ -1,0 +1,135 @@
+"""Field arithmetic vs exact Python-int oracle.
+
+Mirrors the reference's Int::Check test strategy (Int.cpp:1461-1817):
+known-answer and randomized add/sub/mul/square/inverse checks including
+the edge cases p-1..p-k, small values, powers of two.
+"""
+
+import random
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kangaroo_tpu.constants import P
+from kangaroo_tpu.ops import field
+from kangaroo_tpu.utils.intutils import ints_to_limbs, limbs_to_ints
+
+rng = random.Random(0xC0FFEE)
+
+
+def rand_vals(n, below=P):
+    return [rng.randrange(below) for _ in range(n)]
+
+
+def edge_vals():
+    vals = [0, 1, 2, 976, 977, 978, K1 := (1 << 32) + 977, P - 1, P - 2, P - 977]
+    vals += [(1 << i) for i in (15, 16, 31, 32, 63, 64, 127, 128, 255)]
+    vals += [P - (1 << i) for i in (1, 16, 64, 128, 255)]
+    vals += [(1 << 256) - 1, (1 << 256) - 977, P, P + 1]  # non-canonical inputs
+    return vals
+
+
+def to_dev(vals):
+    return jnp.asarray(ints_to_limbs(vals))
+
+
+def from_dev(arr):
+    return limbs_to_ints(np.asarray(arr))
+
+
+class TestMulMod:
+    def test_random(self):
+        a = rand_vals(256)
+        b = rand_vals(256)
+        got = from_dev(field.mulmod(to_dev(a), to_dev(b)))
+        want = [(x * y) % P for x, y in zip(a, b)]
+        assert got == want
+
+    def test_edges(self):
+        ev = edge_vals()
+        a, b = [], []
+        for x in ev:
+            for y in ev:
+                a.append(x)
+                b.append(y)
+        got = from_dev(field.mulmod(to_dev(a), to_dev(b)))
+        want = [(x * y) % P for x, y in zip(a, b)]
+        assert got == want
+
+    def test_square(self):
+        a = rand_vals(256) + edge_vals()
+        got = from_dev(field.sqrmod(to_dev(a)))
+        want = [(x * x) % P for x in a]
+        assert got == want
+
+
+class TestAddSub:
+    def test_add(self):
+        a = rand_vals(128)
+        b = rand_vals(128)
+        got = from_dev(field.addmod(to_dev(a), to_dev(b)))
+        assert got == [(x + y) % P for x, y in zip(a, b)]
+
+    def test_sub(self):
+        a = rand_vals(128)
+        b = rand_vals(128)
+        got = from_dev(field.submod(to_dev(a), to_dev(b)))
+        assert got == [(x - y) % P for x, y in zip(a, b)]
+
+    def test_sub_edges(self):
+        pairs = [(0, 0), (0, P - 1), (P - 1, 0), (1, 2), (P - 1, P - 1), ((1 << 256) - 1, 5)]
+        a = [x for x, _ in pairs]
+        b = [y for _, y in pairs]
+        got = from_dev(field.submod(to_dev(a), to_dev(b)))
+        assert got == [(x - y) % P for x, y in zip(a, b)]
+
+    def test_neg(self):
+        a = rand_vals(64) + [0, 1, P - 1]
+        got = from_dev(field.negmod(to_dev(a)))
+        assert got == [(-x) % P for x in a]
+
+
+class TestModInv:
+    def test_random(self):
+        a = rand_vals(128)
+        got = from_dev(field.modinv(to_dev(a)))
+        want = [pow(x, -1, P) for x in a]
+        assert got == want
+
+    def test_edges(self):
+        # Reference Int::Check hits +-2^i and p-k, 1..k (Int.cpp:1590-1625).
+        a = [1, 2, 3, 977, P - 1, P - 2, P - 977]
+        a += [(1 << i) for i in (1, 16, 64, 128, 255)]
+        a += [P - (1 << i) for i in (1, 16, 64, 128, 255)]
+        got = from_dev(field.modinv(to_dev(a)))
+        want = [pow(x, -1, P) for x in a]
+        assert got == want
+
+    def test_zero(self):
+        # Reference convention: ModInv(0) == 0 (Int.cpp checks this).
+        vals = [0, 1, 0, P - 1]
+        got = from_dev(field.modinv(to_dev(vals)))
+        assert got[0] == 0 and got[2] == 0
+        assert got[1] == 1 and got[3] == P - 1
+
+    def test_batch_inv(self):
+        a = rand_vals(2048)
+        got = from_dev(field.batch_inv(to_dev(a), stop=256))
+        want = [pow(x, -1, P) for x in a]
+        assert got == want
+
+    def test_batch_inv_small(self):
+        a = rand_vals(8)
+        got = from_dev(field.batch_inv(to_dev(a), stop=1024))
+        want = [pow(x, -1, P) for x in a]
+        assert got == want
+
+
+def test_add_u128():
+    a = [rng.randrange(1 << 128) for _ in range(64)]
+    b = [rng.randrange(1 << 128) for _ in range(64)]
+    av = jnp.asarray(ints_to_limbs(a, 8))
+    bv = jnp.asarray(ints_to_limbs(b, 8))
+    got = limbs_to_ints(np.asarray(field.add_u128(av, bv)))
+    assert got == [(x + y) % (1 << 128) for x, y in zip(a, b)]
