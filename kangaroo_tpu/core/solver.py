@@ -1,0 +1,292 @@
+"""Single-host solver orchestrator.
+
+TPU-native counterpart of Kangaroo::Run + SolveKeyGPU
+(Kangaroo.cpp:334-506,510-644,913-1083): the herd lives on device; each
+tick runs a fused multi-jump kernel, DPs are compacted and brought back
+to the host, inserted into the hash table, and collisions resolved
+exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import N_ORDER, TAME, WILD
+from ..utils import rng as rng_mod
+from ..utils.intutils import (
+    int_to_limbs,
+    ints_to_limbs,
+    limbs_to_int,
+    limbs_to_ints_fast,
+)
+from . import curve, herd as herd_mod
+from .collision import collision_check
+from .config import ProblemConfig
+from .hashtable import ADD_COLLISION, ADD_DUPLICATE, ADD_OK, HashTable
+from .jumptable import JumpTable, create_jump_table
+
+
+@dataclass
+class SolverOptions:
+    nb_kangaroo: int = 1 << 14     # herd lanes on device
+    dp_size: int = -1              # -1: auto (suggested DP)
+    nb_run: int = 16               # jumps per device tick
+    max_step: float = 0.0          # abort after max_step*expected ops (0: never)
+    seed: Optional[int] = None     # herd RNG seed (None: time seed)
+    backend: str = "xla"           # 'xla' or 'pallas' jump kernel
+    out_file: str = ""             # append solved keys
+    quiet: bool = False
+    # Checkpointing (reference -w / -wi / -ws)
+    work_file: str = ""
+    save_period: int = 60
+    save_kangaroo: bool = False
+    split_work_file: bool = False
+
+
+@dataclass
+class SolveStats:
+    count: int = 0
+    dead: int = 0
+    time: float = 0.0
+    expected_ops: float = 0.0
+
+
+class KangarooSolver:
+    """Holds range/key state and drives the device herd."""
+
+    def __init__(self, cfg: ProblemConfig, opts: SolverOptions):
+        self.cfg = cfg
+        self.opts = opts
+        self.hash_table = HashTable()
+        self.stats = SolveStats()
+        self.key_idx = 0
+        self.end_of_search = False
+        # offsets restored from a loaded work file
+        self.offset_count = 0
+        self.offset_time = 0.0
+        self.loaded_kangaroos = None
+        self._init_range()
+
+    # -- range / key init (reference: InitRange, Kangaroo.cpp:877-890) --
+    def _init_range(self):
+        self.range_start = self.cfg.range_start
+        self.range_end = self.cfg.range_end
+        self.range_width = self.range_end - self.range_start
+        self.range_power = self.range_width.bit_length()
+        self.width_div2 = self.range_width >> 1
+
+    def init_search_key(self, key_idx: int):
+        """Translate the key by rangeStart (reference: Kangaroo.cpp:892-909)."""
+        self.key_idx = key_idx
+        key = self.cfg.keys[key_idx]
+        sp = self.range_start % N_ORDER
+        if sp != 0:
+            rs = curve.mul(sp).neg()
+            self.key_to_search = curve.add(key, rs)
+        else:
+            self.key_to_search = key
+        self.key_to_search_neg = self.key_to_search.neg()
+
+    # -- expected work model (reference: ComputeExpected, :836-873) -----
+    def compute_expected(self, dp: float, nb_kangaroo: Optional[int] = None):
+        k = float(nb_kangaroo or self.opts.nb_kangaroo)
+        n = 2.0 ** self.range_power
+        theta = 2.0 ** dp
+        z0 = (2.0 * (2.0 - math.sqrt(2.0))) * math.sqrt(math.pi)
+        avg_dp0 = z0 * math.sqrt(n)
+        op = z0 * (n * (k * theta + math.sqrt(n))) ** (1.0 / 3.0)
+        # RAM model with the reference's C struct sizes (bytes):
+        # HASH_ENTRY=16, ENTRY*=8, ENTRY=32 (Kangaroo.cpp:864-868).
+        from ..constants import HASH_SIZE
+
+        ram = 16.0 * HASH_SIZE + 8.0 * (HASH_SIZE * 4) + (32.0 + 8.0) * (op / theta)
+        ram /= 1024.0 * 1024.0
+        overhead = op / avg_dp0
+        return op, ram, overhead
+
+    def suggest_dp(self, nb_kangaroo: int) -> int:
+        """Reference auto-DP heuristic (Kangaroo.cpp:980-996)."""
+        s = int(self.range_power / 2.0 - math.log2(float(nb_kangaroo)))
+        if s < 0:
+            s = 0
+        _, _, overhead = self.compute_expected(float(s), nb_kangaroo)
+        while overhead > 1.05 and s > 0:
+            s -= 1
+            _, _, overhead = self.compute_expected(float(s), nb_kangaroo)
+        return s
+
+    # -- main loop ------------------------------------------------------
+    def solve(
+        self,
+        key_idx: int = 0,
+        progress: Optional[Callable] = None,
+        max_ticks: Optional[int] = None,
+    ):
+        """Solve one key.  Returns SolveResult or None (abort)."""
+        from ..ops import jump_ref
+        from ..ops.ec import affine_add_batch_masked  # noqa: F401 (warm import)
+
+        opts = self.opts
+        self.init_search_key(key_idx)
+
+        jt = create_jump_table(self.range_power)
+        jx_np, jy_np, jd_np = jt.as_arrays()
+        jx, jy, jd = jnp.asarray(jx_np), jnp.asarray(jy_np), jnp.asarray(jd_np)
+
+        dp_size = opts.dp_size
+        if dp_size < 0:
+            dp_size = self.suggest_dp(opts.nb_kangaroo)
+        self.dp_size = dp_size
+        self.stats.expected_ops, _, _ = self.compute_expected(
+            float(dp_size), opts.nb_kangaroo
+        )
+        dp_masks = jnp.asarray(jump_ref.dp_limb_masks(dp_size))
+
+        rng = rng_mod.MT19937(
+            opts.seed if opts.seed is not None else (time.time_ns() & 0xFFFFFFFF)
+        )
+
+        if self.loaded_kangaroos is not None:
+            px, py, d = self.loaded_kangaroos
+            px, py, d = jnp.asarray(px), jnp.asarray(py), jnp.asarray(d)
+        else:
+            px_np, py_np, d_np = herd_mod.create_herd(
+                opts.nb_kangaroo,
+                self.range_power,
+                self.width_div2,
+                self.key_to_search,
+                TAME,
+                rng,
+            )
+            px, py, d = jnp.asarray(px_np), jnp.asarray(py_np), jnp.asarray(d_np)
+
+        self.hash_table.reset()
+        self.stats.count = self.offset_count
+        self.stats.dead = 0
+        t0 = time.time()
+        result = None
+        tick = 0
+        n = opts.nb_kangaroo
+        last_status = t0
+        last_save = t0
+
+        inv_stop = min(1024, n)
+
+        while result is None:
+            if max_ticks is not None and tick >= max_ticks:
+                break
+            if (
+                opts.max_step > 0
+                and self.stats.count
+                > opts.max_step * self.stats.expected_ops
+            ):
+                break
+            px, py, d, count, dpx, dpd, dp_step = jump_ref.jump_steps_with_dp(
+                px, py, d, jx, jy, jd, dp_masks,
+                nb_run=opts.nb_run, inv_stop=inv_stop,
+            )
+            self.stats.count += n * opts.nb_run
+            tick += 1
+
+            count_np = np.asarray(count)
+            hits = np.nonzero(count_np)[0]
+            if hits.size:
+                dpx_np = np.asarray(dpx)
+                dpd_np = np.asarray(dpd)
+                step_np = np.asarray(dp_step)
+                # process in walk order (step, then lane) so the table
+                # fills like a sequential replay
+                items = []
+                for lane in hits:
+                    c = min(int(count_np[lane]), 2)
+                    for slot in range(c):
+                        items.append((int(step_np[slot, lane]), int(lane), slot))
+                items.sort()
+                resets = []
+                for _, lane, slot in items:
+                    x = limbs_to_int(dpx_np[slot, :, lane])
+                    ddev = limbs_to_int(dpd_np[slot, :, lane])
+                    ktype = lane % 2
+                    d_modn = herd_mod.true_distance(ddev, ktype, self.width_div2)
+                    status = self.hash_table.add_dp(x, d_modn, ktype)
+                    if status == ADD_COLLISION:
+                        dead, res = collision_check(
+                            self.hash_table.k_dist,
+                            self.hash_table.k_type,
+                            d_modn,
+                            ktype,
+                            self.key_to_search,
+                            self.key_to_search_neg,
+                            self.range_start,
+                        )
+                        if res is not None:
+                            result = res
+                            break
+                        if dead:
+                            self.stats.dead += 1
+                            resets.append((lane, ktype))
+                    elif status == ADD_DUPLICATE:
+                        self.stats.dead += 1
+                        resets.append((lane, ktype))
+                if resets:
+                    px, py, d = self._reset_lanes(px, py, d, resets, rng)
+
+            now = time.time()
+            if progress is not None and now - last_status > 2.0:
+                progress(self, now - t0)
+                last_status = now
+            if (
+                opts.work_file
+                and now - last_save > opts.save_period
+                and result is None
+            ):
+                self._save_work(px, py, d, now - t0)
+                last_save = now
+
+        self.stats.time = self.offset_time + time.time() - t0
+        self.last_state = (px, py, d)
+        if result is not None and opts.out_file:
+            self._output(result)
+        return result
+
+    def _reset_lanes(self, px, py, d, resets, rng):
+        """Dead kangaroo: draw a fresh one (reference: Kangaroo.cpp:467-471)."""
+        for lane, ktype in resets:
+            npx, npy, nd = herd_mod.create_herd(
+                1, self.range_power, self.width_div2, self.key_to_search,
+                ktype, rng,
+            )
+            px = px.at[:, lane].set(jnp.asarray(npx[:, 0]))
+            py = py.at[:, lane].set(jnp.asarray(npy[:, 0]))
+            d = d.at[:, lane].set(jnp.asarray(nd[:, 0]))
+        return px, py, d
+
+    def _output(self, res):
+        """Append the solved key (reference: Output, Kangaroo.cpp:176-213)."""
+        pub = curve.get_public_key_hex(self.cfg.keys[self.key_idx], True)
+        with open(self.opts.out_file, "a") as f:
+            f.write(
+                f"Key#{self.key_idx:2d} [{res.variant}{res.sign_info}]Pub:  0x{pub} \n"
+            )
+            f.write(f"       Priv: 0x{res.private_key:X} \n")
+
+    def _save_work(self, px, py, d, elapsed):
+        from ..io import backup
+
+        backup.save_work(
+            self.opts.work_file,
+            self,
+            np.asarray(px), np.asarray(py), np.asarray(d),
+            self.stats.count,
+            self.offset_time + elapsed,
+            save_kangaroo=self.opts.save_kangaroo,
+        )
+        if self.opts.split_work_file:
+            self.hash_table.reset()

@@ -1,0 +1,316 @@
+"""Work-file save/load, byte-compatible with the reference.
+
+File formats (reference: Backup.cpp:368-572, HashTable.cpp:371-468),
+all little-endian:
+
+HEADW (full work file):
+  u32 head=0xFA6A8001, u32 version=0,
+  u32 dpSize, rangeStart[32B], rangeEnd[32B], key.x[32B], key.y[32B],
+  u64 totalCount, f64 totalTime,
+  2^18 buckets: { u32 nbItem, u32 maxItem, nbItem * (x[16B], d[16B]) },
+  u64 nbKangaroo, then (if saved) nbKangaroo * (x[32B], y[32B], d[32B])
+
+HEADK  (kangaroo only): head, version, u64 nbKangaroo, kangaroos
+HEADKS (compressed):    head, version, u64 nbKangaroo, 16B D-encoded
+                        distances (positions rebuilt on load)
+
+256-bit values are serialized as 4 u64 words LSW-first, which matches
+the in-memory layout fwrite'd by the reference.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import (
+    HASH_SIZE,
+    HEADK,
+    HEADKS,
+    HEADW,
+    N_ORDER,
+    TAME,
+    WILD,
+)
+from ..core import curve
+from ..core.hashtable import HashTable, calc_dist_and_type, convert
+
+
+def _w_u32(f, v):
+    f.write(struct.pack("<I", v & 0xFFFFFFFF))
+
+
+def _w_u64(f, v):
+    f.write(struct.pack("<Q", v & 0xFFFFFFFFFFFFFFFF))
+
+
+def _w_f64(f, v):
+    f.write(struct.pack("<d", v))
+
+
+def _w_int(f, v, nbytes):
+    f.write(int(v).to_bytes(nbytes, "little"))
+
+
+def _r_u32(f):
+    return struct.unpack("<I", f.read(4))[0]
+
+
+def _r_u64(f):
+    return struct.unpack("<Q", f.read(8))[0]
+
+
+def _r_f64(f):
+    return struct.unpack("<d", f.read(8))[0]
+
+
+def _r_int(f, nbytes):
+    return int.from_bytes(f.read(nbytes), "little")
+
+
+def ref_max_item(nb: int) -> int:
+    """maxItem as the reference's allocator would have left it.
+
+    Buckets allocate 16 slots, then grow by 4 when nbItem hits
+    maxItem-1 (HashTable.cpp:262-307).  Reproduced so files are
+    byte-identical to reference solver output.
+    """
+    if nb == 0:
+        return 0
+    if nb <= 15:
+        return 16
+    return 4 * ((nb + 4) // 4)
+
+
+def merge_max_item(nb: int) -> int:
+    """maxItem as the reference's merge writes it (round up to 4)."""
+    if nb % 4 == 0:
+        return nb
+    return ((nb // 4) + 1) * 4
+
+
+def write_header(f, head_type: int, solver=None, total_count: int = 0,
+                 total_time: float = 0.0):
+    _w_u32(f, head_type)
+    _w_u32(f, 0)  # version
+    if head_type == HEADW:
+        key = solver.cfg.keys[solver.key_idx]
+        _w_u32(f, solver.dp_size)
+        _w_int(f, solver.range_start, 32)
+        _w_int(f, solver.range_end, 32)
+        _w_int(f, key.x, 32)
+        _w_int(f, key.y, 32)
+        _w_u64(f, total_count)
+        _w_f64(f, total_time)
+
+
+def write_hash_table(f, ht: HashTable, max_item_fn=ref_max_item):
+    bucket_items: List[List[Tuple[int, int]]] = [None] * HASH_SIZE
+    for h, bucket in ht.buckets.items():
+        bucket_items[h] = sorted(bucket.items())
+    for h in range(HASH_SIZE):
+        items = bucket_items[h] or []
+        _w_u32(f, len(items))
+        _w_u32(f, max_item_fn(len(items)))
+        for x128, d128 in items:
+            _w_int(f, x128, 16)
+            _w_int(f, d128, 16)
+
+
+def read_hash_table(f) -> HashTable:
+    ht = HashTable()
+    for h in range(HASH_SIZE):
+        nb = _r_u32(f)
+        _r_u32(f)  # maxItem (ignored; recomputed on save)
+        if nb:
+            bucket = ht.buckets.setdefault(h, {})
+            for _ in range(nb):
+                x128 = _r_int(f, 16)
+                d128 = _r_int(f, 16)
+                bucket[x128] = d128
+    return ht
+
+
+def save_work(
+    path: str,
+    solver,
+    px: Optional[np.ndarray],
+    py: Optional[np.ndarray],
+    d: Optional[np.ndarray],
+    total_count: int,
+    total_time: float,
+    save_kangaroo: bool = False,
+):
+    """Full HEADW work file (reference: SaveWork, Backup.cpp:449-572).
+
+    px/py are (16, N) limb arrays, d the (8, N) device distances; the
+    on-file distance is the mod-n value (wild offset removed), exactly
+    like GPUEngine::GetKangaroos (GPUEngine.cu:474-480).
+    """
+    from ..utils.intutils import limbs_to_ints_fast
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        write_header(f, HEADW, solver, total_count, total_time)
+        write_hash_table(f, solver.hash_table)
+        if save_kangaroo and px is not None:
+            n = px.shape[1]
+            _w_u64(f, n)
+            xs = limbs_to_ints_fast(px)
+            ys = limbs_to_ints_fast(py)
+            ds = limbs_to_ints_fast(d)
+            from ..core.herd import true_distance
+
+            for i in range(n):
+                _w_int(f, int(xs[i]), 32)
+                _w_int(f, int(ys[i]), 32)
+                _w_int(
+                    f,
+                    true_distance(int(ds[i]), i % 2, solver.width_div2),
+                    32,
+                )
+        else:
+            _w_u64(f, 0)
+    os.replace(tmp, path)
+
+
+@dataclass
+class LoadedWork:
+    dp_size: int
+    range_start: int
+    range_end: int
+    key: curve.PointA
+    count: int
+    time: float
+    hash_table: HashTable
+    nb_kangaroo: int
+    kangaroos: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]
+    # raw mod-n distances of loaded kangaroos (for re-deriving)
+    dists: Optional[List[int]] = None
+
+
+def read_header(f, expect: Optional[int] = None) -> int:
+    head = _r_u32(f)
+    _r_u32(f)  # version
+    if expect is not None and head != expect:
+        raise ValueError(f"unexpected work file header 0x{head:08X}")
+    return head
+
+
+def load_work(path: str, load_kangaroos: bool = True) -> LoadedWork:
+    """Load a HEADW work file (reference: LoadWork, Backup.cpp:149-207)."""
+    from ..utils.intutils import ints_to_limbs
+
+    with open(path, "rb") as f:
+        read_header(f, HEADW)
+        dp = _r_u32(f)
+        range_start = _r_int(f, 32)
+        range_end = _r_int(f, 32)
+        kx = _r_int(f, 32)
+        ky = _r_int(f, 32)
+        count = _r_u64(f)
+        ttime = _r_f64(f)
+        key = curve.PointA(kx, ky)
+        if not curve.on_curve(key):
+            raise ValueError("LoadWork: key does not lie on elliptic curve")
+        ht = read_hash_table(f)
+        nb = _r_u64(f)
+        kang = None
+        dists = None
+        if nb and load_kangaroos:
+            xs, ys, ds = [], [], []
+            for _ in range(nb):
+                xs.append(_r_int(f, 32))
+                ys.append(_r_int(f, 32))
+                ds.append(_r_int(f, 32))
+            width_div2 = (range_end - range_start) >> 1
+            from ..core.herd import device_distance
+
+            ddev = [
+                device_distance(dm, i % 2, width_div2)
+                for i, dm in enumerate(ds)
+            ]
+            kang = (
+                ints_to_limbs(xs, 16),
+                ints_to_limbs(ys, 16),
+                ints_to_limbs(ddev, 8),
+            )
+            dists = ds
+    return LoadedWork(
+        dp, range_start, range_end, key, count, ttime, ht, nb, kang, dists
+    )
+
+
+def save_kangaroo_file(
+    path: str, solver, px, py, d, total_count: int, total_time: float,
+    compressed: bool = False,
+):
+    """HEADK / HEADKS kangaroo-only files (client side -w / -wss)."""
+    from ..core.herd import true_distance
+    from ..utils.intutils import limbs_to_ints_fast
+
+    n = px.shape[1]
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        write_header(f, HEADKS if compressed else HEADK, None,
+                     total_count, total_time)
+        _w_u64(f, n)
+        xs = limbs_to_ints_fast(px)
+        ys = limbs_to_ints_fast(py)
+        ds = limbs_to_ints_fast(d)
+        for i in range(n):
+            dist = true_distance(int(ds[i]), i % 2, solver.width_div2)
+            if compressed:
+                # 16-byte D encoding, type from kangaroo parity
+                _, _, d128 = convert(0, dist, i % 2)
+                _w_int(f, d128, 16)
+            else:
+                _w_int(f, int(xs[i]), 32)
+                _w_int(f, int(ys[i]), 32)
+                _w_int(f, dist, 32)
+    os.replace(tmp, path)
+
+
+def work_info(path: str) -> str:
+    """-winfo: header + hash table stats (reference: Backup.cpp:574-652)."""
+    with open(path, "rb") as f:
+        head = read_header(f)
+        lines = []
+        if head == HEADW:
+            dp = _r_u32(f)
+            range_start = _r_int(f, 32)
+            range_end = _r_int(f, 32)
+            kx = _r_int(f, 32)
+            ky = _r_int(f, 32)
+            count = _r_u64(f)
+            ttime = _r_f64(f)
+            lines.append(f"Version   : 0")
+            lines.append(f"DP bits   : {dp}")
+            lines.append(f"Start     : {range_start:X}")
+            lines.append(f"Stop      : {range_end:X}")
+            lines.append(
+                "Key       : "
+                + curve.get_public_key_hex(curve.PointA(kx, ky), True)
+            )
+            lines.append(f"Count     : {count} 2^{math.log2(count) if count else 0:.3f}")
+            lines.append(f"Time      : {ttime:.1f}s")
+            ht = read_hash_table(f)
+            nb, mn, mx, avg = ht.stats()
+            lines.append(f"DP Count  : {nb} 2^{math.log2(nb) if nb else 0:.3f}")
+            lines.append(f"HT Max    : {mx} [@ ...]")
+            lines.append(f"HT Min    : {mn} [@ ...]")
+            lines.append(f"HT Avg    : {avg:.2f}")
+            nbk = _r_u64(f)
+            lines.append(f"Kangaroos : {nbk} 2^{math.log2(nbk) if nbk else 0:.3f}")
+        elif head in (HEADK, HEADKS):
+            nb = _r_u64(f)
+            kind = "compressed kangaroo" if head == HEADKS else "kangaroo"
+            lines.append(f"{kind} only file [2^{math.log2(nb) if nb else 0:.2f} kangaroos]")
+        else:
+            raise ValueError(f"not a work file (head 0x{head:08X})")
+    return "\n".join(lines)

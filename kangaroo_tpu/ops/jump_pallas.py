@@ -1,0 +1,206 @@
+"""Fused Pallas TPU kernel for the kangaroo jump loop.
+
+One kernel invocation advances every kangaroo NB_RUN jumps with the
+herd state resident in VMEM:
+
+  for run in range(nb_run):
+      jmp  = px[0] & 31                  # low 5 bits of x
+      (qx,qy,qd) = one-hot-matmul gather from the 32-entry jump table
+      dx   = qx - px ; batched fold-tree inversion (one divstep block)
+      lam  = (qy - py) * dx^-1 ; x' = lam^2 - px - qx ; y' = ...
+      d   += qd                          # 128-bit device distance
+      DP capture into 2 per-lane slots   # top dpSize bits of x zero
+
+This is the TPU-native counterpart of the reference CUDA kernel
+comp_kangaroos (GPUCompute.h:22-109, GPUEngine.cu:35): same walk
+semantics, completely different machine mapping -- limb-sliced VPU
+arithmetic, MXU one-hot gathers, fold-tree Montgomery inversion with a
+vectorized safegcd, and slot-based DP capture instead of an atomic
+output ring.  Bit-exactness against the XLA reference implementation
+(and hence the reference walk) is enforced by tests/test_lockstep.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import NB_JUMP
+from . import field
+from .jump_ref import is_dp
+
+# Lanes per kernel block.  VMEM budget: state + temporaries + DP slots
+# come to ~1.3 KB/lane, so 4096 lanes ~ 5.5 MB.
+DEFAULT_BLOCK = 4096
+# Fold the inversion tree down to this many lanes before divstep.
+INV_STOP = 128
+
+
+def _gather_onehot(jmp: jnp.ndarray, tbl: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane gather tbl[:, jmp] via one-hot matmul (MXU-friendly).
+
+    tbl: (L, 32) uint32 16-bit limbs; jmp: (N,) uint32 in [0,32).
+    16-bit values are exact in f32, and a one-hot contraction over 32
+    entries cannot lose precision.
+    """
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (NB_JUMP, jmp.shape[0]), 0)
+    onehot = (iota == jmp[None, :]).astype(jnp.float32)
+    got = jax.lax.dot_general(
+        tbl.astype(jnp.float32),
+        onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return got.astype(jnp.uint32)
+
+
+def _jump_kernel(
+    jx_ref, jy_ref, jd_ref, mask_ref,
+    px_ref, py_ref, d_ref,
+    opx_ref, opy_ref, od_ref,
+    cnt_ref, dpx_ref, dpd_ref, step_ref,
+    *, nb_run: int,
+):
+    px = px_ref[:, :]
+    py = py_ref[:, :]
+    d = d_ref[:, :]
+    jx = jx_ref[:, :]
+    jy = jy_ref[:, :]
+    jd = jd_ref[:, :]
+    masks = mask_ref[0, :]
+    n = px.shape[1]
+
+    count = jnp.zeros((n,), dtype=jnp.uint32)
+    dpx = jnp.zeros((2 * 16, n), dtype=jnp.uint32)
+    dpd = jnp.zeros((2 * 8, n), dtype=jnp.uint32)
+    dstep = jnp.zeros((2, n), dtype=jnp.uint32)
+
+    def body(i, state):
+        px, py, d, count, dpx, dpd, dstep = state
+        jmp = px[0] & jnp.uint32(NB_JUMP - 1)
+        qx = _gather_onehot(jmp, jx)
+        qy = _gather_onehot(jmp, jy)
+        qd = _gather_onehot(jmp, jd)
+
+        dx = field.submod(qx, px)
+        inv = field.batch_inv(dx, stop=min(INV_STOP, n))
+        dy = field.submod(qy, py)
+        lam = field.mulmod(dy, inv)
+        lam2 = field.sqrmod(lam)
+        x3 = field.submod(field.submod(lam2, px), qx)
+        y3 = field.submod(field.mulmod(lam, field.submod(qx, x3)), qy)
+        d = field.add_u128(d, qd)
+        px, py = x3, y3
+
+        hit = is_dp(px, masks)
+        slot0 = hit & (count == 0)
+        slot1 = hit & (count == 1)
+        m0 = slot0[None, :]
+        m1 = slot1[None, :]
+        dpx = jnp.concatenate(
+            [
+                jnp.where(m0, px, dpx[:16]),
+                jnp.where(m1, px, dpx[16:]),
+            ],
+            axis=0,
+        )
+        dpd = jnp.concatenate(
+            [
+                jnp.where(m0, d, dpd[:8]),
+                jnp.where(m1, d, dpd[8:]),
+            ],
+            axis=0,
+        )
+        dstep = jnp.concatenate(
+            [
+                jnp.where(slot0, jnp.uint32(i), dstep[0])[None, :],
+                jnp.where(slot1, jnp.uint32(i), dstep[1])[None, :],
+            ],
+            axis=0,
+        )
+        count = count + hit.astype(jnp.uint32)
+        return px, py, d, count, dpx, dpd, dstep
+
+    px, py, d, count, dpx, dpd, dstep = jax.lax.fori_loop(
+        0, nb_run, body, (px, py, d, count, dpx, dpd, dstep)
+    )
+
+    opx_ref[:, :] = px
+    opy_ref[:, :] = py
+    od_ref[:, :] = d
+    cnt_ref[:, :] = count[None, :]
+    dpx_ref[:, :] = dpx
+    dpd_ref[:, :] = dpd
+    step_ref[:, :] = dstep
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb_run", "block", "interpret")
+)
+def jump_steps_with_dp(
+    px, py, d, jx, jy, jd, dp_masks,
+    nb_run: int = 64, block: int = DEFAULT_BLOCK, interpret: bool = False,
+):
+    """Pallas backend with the same contract as jump_ref.jump_steps_with_dp.
+
+    Returns (px, py, d, dp_count, dpx, dpd, dp_step); dpx has shape
+    (2, 16, N), dpd (2, 8, N), dp_step (2, N), dp_count (N,).
+    """
+    n = px.shape[1]
+    blk = min(block, n)
+    assert n % blk == 0, "herd size must be a multiple of the block size"
+    grid = (n // blk,)
+
+    state_spec = lambda rows: pl.BlockSpec(
+        (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    full_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((16, n), jnp.uint32),   # px
+        jax.ShapeDtypeStruct((16, n), jnp.uint32),   # py
+        jax.ShapeDtypeStruct((8, n), jnp.uint32),    # d
+        jax.ShapeDtypeStruct((1, n), jnp.uint32),    # count
+        jax.ShapeDtypeStruct((32, n), jnp.uint32),   # dpx slots
+        jax.ShapeDtypeStruct((16, n), jnp.uint32),   # dpd slots
+        jax.ShapeDtypeStruct((2, n), jnp.uint32),    # step slots
+    )
+    out_specs = (
+        state_spec(16), state_spec(16), state_spec(8), state_spec(1),
+        state_spec(32), state_spec(16), state_spec(2),
+    )
+    in_specs = [
+        full_spec((16, NB_JUMP)),   # jx
+        full_spec((16, NB_JUMP)),   # jy
+        full_spec((8, NB_JUMP)),    # jd
+        full_spec((1, 4)),          # dp masks
+        state_spec(16),             # px
+        state_spec(16),             # py
+        state_spec(8),              # d
+    ]
+
+    kernel = functools.partial(_jump_kernel, nb_run=nb_run)
+    opx, opy, od, cnt, dpx, dpd, dstep = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        interpret=interpret,
+    )(jx, jy, jd, dp_masks[None, :], px, py, d)
+
+    return (
+        opx, opy, od,
+        cnt[0],
+        dpx.reshape(2, 16, n),
+        dpd.reshape(2, 8, n),
+        dstep,
+    )

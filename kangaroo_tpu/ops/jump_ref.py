@@ -1,0 +1,123 @@
+"""Reference jump step in pure JAX (XLA path).
+
+This is the readable, oracle-grade implementation of the kangaroo walk
+step.  The Pallas kernel (`jump_pallas.py`) must match it bit-exactly;
+it in turn matches the reference C++ walk semantics
+(Kangaroo.cpp:379-433):
+
+    jmp   = px.bits64[0] %% NB_JUMP            (low 5 bits of x)
+    (px,py) += jumpPoint[jmp]                  (batched affine add)
+    dist  += jumpDistance[jmp]                 (128-bit device add)
+    DP if top dpSize bits of x are zero        (IsDP, Kangaroo.cpp:148)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import NB_JUMP
+from . import field
+from .ec import affine_add_batch
+
+
+def dp_limb_masks(dp_size: int) -> np.ndarray:
+    """Per-limb uint32 masks for the top-64-bit DP test.
+
+    dMask has the top dp_size bits of a 64-bit word set
+    (reference: Kangaroo.cpp:154-164).  x.bits64[3] is limbs 12..15.
+    Returns masks for limbs 12..15 (LSB-first order).
+    """
+    if dp_size <= 0:
+        mask64 = 0
+    else:
+        dp = min(dp_size, 64)
+        mask64 = (~((1 << (64 - dp)) - 1)) & 0xFFFFFFFFFFFFFFFF
+    return np.array(
+        [(mask64 >> (16 * i)) & 0xFFFF for i in range(4)], dtype=np.uint32
+    )
+
+
+def is_dp(px: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+    """Lane-wise distinguished-point test -> bool (N,)."""
+    acc = (px[12] & masks[0]) == 0
+    for i in range(1, 4):
+        acc = acc & ((px[12 + i] & masks[i]) == 0)
+    return acc
+
+
+def select_jump(px: jnp.ndarray, jx, jy, jd):
+    """Gather per-lane jump point/distance by x mod NB_JUMP.
+
+    NB_JUMP == 32 is a power of two, so bits64[0] %% 32 is the low five
+    bits of limb 0.
+    """
+    jmp = px[0] & jnp.uint32(NB_JUMP - 1)
+    qx = jnp.take(jx, jmp, axis=1)
+    qy = jnp.take(jy, jmp, axis=1)
+    qd = jnp.take(jd, jmp, axis=1)
+    return qx, qy, qd
+
+
+def jump_step(
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    d: jnp.ndarray,
+    jx: jnp.ndarray,
+    jy: jnp.ndarray,
+    jd: jnp.ndarray,
+    inv_stop: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One batched kangaroo jump for every lane."""
+    qx, qy, qd = select_jump(px, jx, jy, jd)
+    nx, ny = affine_add_batch(px, py, qx, qy, inv_stop=inv_stop)
+    nd = field.add_u128(d, qd)
+    return nx, ny, nd
+
+
+@partial(jax.jit, static_argnames=("nb_run", "inv_stop"))
+def jump_steps_with_dp(
+    px, py, d, jx, jy, jd, dp_masks, nb_run: int = 16, inv_stop: int = 1024
+):
+    """nb_run jumps; record up to 2 DP hits per lane (slot capture).
+
+    Returns (px, py, d, dp_count, dpx, dpd, dp_step) where dpx/dpd hold
+    the x / device-distance limbs at DP time for the first two hits per
+    lane and dp_step the step index of each hit.  Losing a third hit in
+    one launch window is ~C(nb_run,3)/2^(3 dp): negligible, and the same
+    class of loss exists in the reference's bounded GPU output buffer
+    (GPUEngine.cu:641-648).
+    """
+    n = px.shape[1]
+    dpx = jnp.zeros((2, 16, n), dtype=jnp.uint32)
+    dpd = jnp.zeros((2, 8, n), dtype=jnp.uint32)
+    dp_step = jnp.zeros((2, n), dtype=jnp.uint32)
+    count = jnp.zeros((n,), dtype=jnp.uint32)
+
+    def body(i, state):
+        px, py, d, count, dpx, dpd, dp_step = state
+        px, py, d = jump_step(px, py, d, jx, jy, jd, inv_stop=inv_stop)
+        hit = is_dp(px, dp_masks)
+        slot0 = hit & (count == 0)
+        slot1 = hit & (count == 1)
+        dpx = dpx.at[0].set(jnp.where(slot0[None, :], px, dpx[0]))
+        dpd = dpd.at[0].set(jnp.where(slot0[None, :], d, dpd[0]))
+        dp_step = dp_step.at[0].set(
+            jnp.where(slot0, jnp.uint32(i), dp_step[0])
+        )
+        dpx = dpx.at[1].set(jnp.where(slot1[None, :], px, dpx[1]))
+        dpd = dpd.at[1].set(jnp.where(slot1[None, :], d, dpd[1]))
+        dp_step = dp_step.at[1].set(
+            jnp.where(slot1, jnp.uint32(i), dp_step[1])
+        )
+        count = count + hit.astype(jnp.uint32)
+        return px, py, d, count, dpx, dpd, dp_step
+
+    px, py, d, count, dpx, dpd, dp_step = jax.lax.fori_loop(
+        0, nb_run, body, (px, py, d, count, dpx, dpd, dp_step)
+    )
+    return px, py, d, count, dpx, dpd, dp_step

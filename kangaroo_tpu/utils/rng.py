@@ -46,7 +46,7 @@ class MT19937:
         k = key
         for i in range(_N):
             y = (k[i] & _UPPER) | (k[(i + 1) % _N] & _LOWER)
-            k[i] = k[(i + _M) % _N] ^ (y >> 1) ^ ((-(y & 1)) & _MATRIX_A)
+            k[i] = k[(i + _M) % _N] ^ (y >> 1) ^ ((y & 1) * _MATRIX_A)
         self._key = (k & _MASK32).astype(np.uint32)
         self._pos = 0
 

@@ -1,0 +1,41 @@
+"""End-to-end solves on small ranges (XLA backend).
+
+Counterpart of the reference's known-answer runs (README.md:162-196,
+puzzle32.txt fixtures): build a problem with a known private key and
+verify the solver recovers it exactly.
+"""
+
+import random
+
+import pytest
+
+from kangaroo_tpu.core import curve
+from kangaroo_tpu.core.config import ProblemConfig
+from kangaroo_tpu.core.solver import KangarooSolver, SolverOptions
+
+
+def make_problem(range_start: int, range_width: int, k_off: int):
+    k = range_start + k_off
+    return ProblemConfig(range_start, range_start + range_width, [curve.mul(k)]), k
+
+
+@pytest.mark.parametrize("k_off_frac", [0.3, 0.77])
+def test_solve_20bit(k_off_frac):
+    width = (1 << 20) - 1
+    start = 0x5000000
+    cfg, k = make_problem(start, width, int(width * k_off_frac) | 1)
+    opts = SolverOptions(nb_kangaroo=256, dp_size=2, nb_run=8, seed=42)
+    solver = KangarooSolver(cfg, opts)
+    res = solver.solve(0, max_ticks=3000)
+    assert res is not None, "no collision found in tick budget"
+    assert res.private_key == k
+
+
+def test_solve_range_start_zero():
+    width = (1 << 18) - 1
+    cfg, k = make_problem(0, width, 123457)
+    opts = SolverOptions(nb_kangaroo=128, dp_size=1, nb_run=8, seed=7)
+    solver = KangarooSolver(cfg, opts)
+    res = solver.solve(0, max_ticks=3000)
+    assert res is not None
+    assert res.private_key == k
