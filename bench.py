@@ -1,0 +1,94 @@
+"""Headline benchmark: kangaroo jump throughput (MK/s == MJumps/s).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline anchor: the reference's single-V100 rate is ~1957 MK/s
+(7828.45 MK/s over 4 V100s, README.md:402); vs_baseline is measured
+single-chip MK/s divided by that per-GPU figure.
+
+Run on whatever jax.devices() provides (one real TPU chip under the
+driver; CPU elsewhere).  Herd size and launch window auto-scale down on
+CPU so the bench finishes quickly.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MKS = 7828.45 / 4.0  # per-V100 MK/s, README.md:402
+
+
+def main() -> None:
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    from kangaroo_tpu.core import curve, herd as herd_mod
+    from kangaroo_tpu.core.jumptable import create_jump_table
+    from kangaroo_tpu.ops import jump_ref
+    from kangaroo_tpu.utils.rng import MT19937
+
+    n = 1 << 19 if on_tpu else 1 << 12
+    nb_run = 64 if on_tpu else 8
+    reps = 5 if on_tpu else 2
+
+    range_power = 64
+    width_div2 = ((1 << range_power) - 1) >> 1
+    key = curve.mul(0xC0FFEE123456789)
+    px, py, d = herd_mod.create_herd(
+        n, range_power, width_div2, key, 0, MT19937(1234)
+    )
+    jt = create_jump_table(range_power)
+    jx_np, jy_np, jd_np = jt.as_arrays()
+    px, py, d = jnp.asarray(px), jnp.asarray(py), jnp.asarray(d)
+    jx, jy, jd = jnp.asarray(jx_np), jnp.asarray(jy_np), jnp.asarray(jd_np)
+    masks = jnp.asarray(jump_ref.dp_limb_masks(20))
+
+    backend = None
+    if on_tpu:
+        try:
+            from kangaroo_tpu.ops import jump_pallas
+
+            blk = min(jump_pallas.DEFAULT_BLOCK, n)
+
+            def step(px, py, d):
+                return jump_pallas.jump_steps_with_dp(
+                    px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=blk
+                )
+
+            jax.block_until_ready(step(px, py, d))  # compile + smoke
+            backend = step
+        except Exception:
+            backend = None
+    if backend is None:
+        def step(px, py, d):
+            return jump_ref.jump_steps_with_dp(
+                px, py, d, jx, jy, jd, masks,
+                nb_run=nb_run, inv_stop=min(1024, n),
+            )
+
+        jax.block_until_ready(step(px, py, d))
+        backend = step
+
+    # timed reps; state threads through so nothing is DCE'd
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = backend(px, py, d)
+        px, py, d = out[0], out[1], out[2]
+    jax.block_until_ready((px, py, d))
+    dt = time.perf_counter() - t0
+
+    jumps = n * nb_run * reps
+    mks = jumps / dt / 1e6
+    print(json.dumps({
+        "metric": "jump_throughput",
+        "value": round(mks, 3),
+        "unit": "MK/s",
+        "vs_baseline": round(mks / BASELINE_MKS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,277 @@
+"""Validation modes: work-file re-derivation (-wcheck) and the solver
+self-check (-check).
+
+Reference semantics:
+  * CheckWorkFile / CheckPartition (Check.cpp:110-412): for every stored
+    DP, recompute dist*G (+keyToSearch when wild) with the batched
+    device path and verify that the low 128 bits of x and the bucket
+    index match what the file stores.
+  * Check (Check.cpp:414-619): arithmetic known-answer tests plus the
+    kernel-vs-reference lockstep; the TPU analogues live in tests/, and
+    run_self_check() drives the same oracles from the CLI.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import HASH_MASK, HASH_SIZE, H_PER_PART, MERGE_PART, N_ORDER
+from ..utils.intutils import ints_to_limbs, limbs_to_ints_fast
+from . import curve
+from .hashtable import calc_dist_and_type
+
+_MASK128 = (1 << 128) - 1
+
+
+@dataclass
+class CheckReport:
+    n_items: int = 0
+    n_wrong: int = 0
+
+    @property
+    def ok(self) -> bool:
+        return self.n_wrong == 0
+
+
+def _check_batch(
+    dists: List[int],
+    types: List[int],
+    stored_x128: List[int],
+    stored_h: List[int],
+    key_to_search: curve.PointA,
+) -> int:
+    """Re-derive dist*G (+key when wild) on device; count mismatches.
+
+    Vectorized counterpart of CheckHash (Check.cpp:33-108).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import ec
+
+    ks = jnp.asarray(ints_to_limbs([d % N_ORDER for d in dists]))
+    px, py, p_zero = ec.scalar_mult_base_batch(ks)
+    wild = np.asarray(types, dtype=np.uint32) == 1
+    if wild.any():
+        n = len(dists)
+        kx = jnp.asarray(
+            np.broadcast_to(
+                ints_to_limbs([key_to_search.x])[:, 0:1], (16, n)
+            )
+        )
+        ky = jnp.asarray(
+            np.broadcast_to(
+                ints_to_limbs([key_to_search.y])[:, 0:1], (16, n)
+            )
+        )
+        wx, wy, _ = ec.affine_add_batch_masked(
+            jnp.asarray(kx), jnp.asarray(ky),
+            jnp.zeros((n,), dtype=bool),
+            px, py, p_zero,
+        )
+        sel = jnp.asarray(wild)[None, :]
+        px = jnp.where(sel, wx, px)
+
+    xs = limbs_to_ints_fast(np.asarray(px))
+    wrong = 0
+    for i, x in enumerate(xs):
+        x = int(x)
+        if (x & _MASK128) != stored_x128[i] or ((x >> 128) & HASH_MASK) != stored_h[i]:
+            wrong += 1
+    return wrong
+
+
+def _key_to_search(hdr) -> curve.PointA:
+    sp = hdr.range_start % N_ORDER
+    if sp != 0:
+        return curve.add(hdr.key, curve.mul(sp).neg())
+    return hdr.key
+
+
+def check_work_file(path: str, batch: int = 4096) -> CheckReport:
+    """-wcheck on a plain work file or a 256-partition directory."""
+    from ..io import merge as merge_mod
+    from ..io.backup import _r_u32
+
+    if os.path.isdir(path):
+        return check_partitioned(path, batch)
+
+    report = CheckReport()
+    with open(path, "rb") as f:
+        hdr = merge_mod.read_work_header(f, path)
+        key = _key_to_search(hdr)
+        pend_d: List[int] = []
+        pend_t: List[int] = []
+        pend_x: List[int] = []
+        pend_h: List[int] = []
+
+        def flush():
+            if pend_d:
+                report.n_wrong += _check_batch(pend_d, pend_t, pend_x, pend_h, key)
+                report.n_items += len(pend_d)
+                pend_d.clear(); pend_t.clear(); pend_x.clear(); pend_h.clear()
+
+        for h in range(HASH_SIZE):
+            nb = _r_u32(f)
+            _r_u32(f)
+            for _ in range(nb):
+                e = f.read(32)
+                x128 = int.from_bytes(e[:16], "little")
+                d128 = int.from_bytes(e[16:], "little")
+                dist, ktype = calc_dist_and_type(d128)
+                pend_d.append(dist)
+                pend_t.append(ktype)
+                pend_x.append(x128)
+                pend_h.append(h)
+            if len(pend_d) >= batch:
+                flush()
+        flush()
+    return report
+
+
+def check_partitioned(directory: str, batch: int = 4096) -> CheckReport:
+    """-wcheck on a partitioned work dir (reference: CheckPartition)."""
+    from ..io import merge as merge_mod
+    from ..io.backup import _r_u32
+
+    header = os.path.join(directory, "header")
+    with open(header, "rb") as f:
+        hdr = merge_mod.read_work_header(f, header)
+    key = _key_to_search(hdr)
+    report = CheckReport()
+    pend_d: List[int] = []
+    pend_t: List[int] = []
+    pend_x: List[int] = []
+    pend_h: List[int] = []
+
+    def flush():
+        if pend_d:
+            report.n_wrong += _check_batch(pend_d, pend_t, pend_x, pend_h, key)
+            report.n_items += len(pend_d)
+            pend_d.clear(); pend_t.clear(); pend_x.clear(); pend_h.clear()
+
+    for p in range(MERGE_PART):
+        with open(merge_mod.part_name(directory, p), "rb") as f:
+            for hh in range(H_PER_PART):
+                h = p * H_PER_PART + hh
+                nb = _r_u32(f)
+                _r_u32(f)
+                for _ in range(nb):
+                    e = f.read(32)
+                    x128 = int.from_bytes(e[:16], "little")
+                    d128 = int.from_bytes(e[16:], "little")
+                    dist, ktype = calc_dist_and_type(d128)
+                    pend_d.append(dist)
+                    pend_t.append(ktype)
+                    pend_x.append(x128)
+                    pend_h.append(h)
+                if len(pend_d) >= batch:
+                    flush()
+    flush()
+    return report
+
+
+def run_self_check(verbose: bool = True) -> bool:
+    """-check: arithmetic known-answer tests + walk lockstep.
+
+    TPU counterpart of Kangaroo::Check (Check.cpp:414-619): field ops vs
+    Python bignum oracle, batched scalar mult vs host double-and-add,
+    and the fused kernel walk replayed on the XLA path.
+    """
+    import random
+
+    import jax.numpy as jnp
+
+    from ..ops import ec, field, jump_ref
+    from ..utils.intutils import int_to_limbs, limbs_to_int
+    from ..constants import P
+    from . import herd as herd_mod
+    from .jumptable import create_jump_table
+    from ..utils.rng import MT19937
+
+    rnd = random.Random(0xC43C)
+    ok = True
+
+    # field ops vs exact integer arithmetic
+    n = 256
+    avals = [rnd.randrange(P) for _ in range(n)]
+    bvals = [rnd.randrange(P) for _ in range(n)]
+    A = jnp.asarray(ints_to_limbs(avals))
+    B = jnp.asarray(ints_to_limbs(bvals))
+    checks = [
+        ("addmod", field.addmod(A, B), [(a + b) % P for a, b in zip(avals, bvals)]),
+        ("submod", field.submod(A, B), [(a - b) % P for a, b in zip(avals, bvals)]),
+        ("mulmod", field.mulmod(A, B), [(a * b) % P for a, b in zip(avals, bvals)]),
+        ("sqrmod", field.sqrmod(A), [(a * a) % P for a in avals]),
+        ("modinv", field.modinv(A), [pow(a, -1, P) for a in avals]),
+        ("batchinv", field.batch_inv(A, stop=64), [pow(a, -1, P) for a in avals]),
+    ]
+    for name, got, want in checks:
+        got_i = [int(v) for v in limbs_to_ints_fast(np.asarray(got))]
+        if got_i != want:
+            ok = False
+            if verbose:
+                print(f"Check: {name} FAILED")
+        elif verbose:
+            print(f"Check: {name} OK ({n} lanes)")
+
+    # batched scalar mult vs host double-and-add
+    ks = [rnd.randrange(1, N_ORDER) for _ in range(128)]
+    gx, gy, _ = ec.scalar_mult_base_batch(jnp.asarray(ints_to_limbs(ks)))
+    gx_i = limbs_to_ints_fast(np.asarray(gx))
+    gy_i = limbs_to_ints_fast(np.asarray(gy))
+    for i, k in enumerate(ks):
+        pt = curve.mul(k)
+        if pt.x != int(gx_i[i]) or pt.y != int(gy_i[i]):
+            ok = False
+            if verbose:
+                print(f"Check: scalar_mult FAILED at {i}")
+            break
+    else:
+        if verbose:
+            print("Check: scalar_mult_base_batch OK (128 keys)")
+
+    # walk lockstep: batched jump step vs host scalar replay
+    range_power = 64
+    width_div2 = ((1 << range_power) - 1) >> 1
+    key = curve.mul(0xBADC0FFEE)
+    px, py, d = herd_mod.create_herd(
+        64, range_power, width_div2, key, 0, MT19937(7)
+    )
+    jt = create_jump_table(range_power)
+    jx, jy, jd = (jnp.asarray(a) for a in jt.as_arrays())
+    masks = jnp.asarray(jump_ref.dp_limb_masks(8))
+    host_pts = [
+        curve.PointA(
+            int(limbs_to_ints_fast(px)[i]), int(limbs_to_ints_fast(py)[i])
+        )
+        for i in range(64)
+    ]
+    host_d = [int(v) for v in limbs_to_ints_fast(d)]
+    opx, opy, od, *_ = jump_ref.jump_steps_with_dp(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(d),
+        jx, jy, jd, masks, nb_run=8, inv_stop=64,
+    )
+    for _ in range(8):
+        for i in range(64):
+            jmp = host_pts[i].x & 31
+            host_pts[i] = curve.add(host_pts[i], jt.points[jmp])
+            host_d[i] = (host_d[i] + jt.distances[jmp]) & ((1 << 128) - 1)
+    ox = limbs_to_ints_fast(np.asarray(opx))
+    od_i = limbs_to_ints_fast(np.asarray(od))
+    for i in range(64):
+        if host_pts[i].x != int(ox[i]) or host_d[i] != int(od_i[i]):
+            ok = False
+            if verbose:
+                print(f"Check: walk lockstep FAILED at lane {i}")
+            break
+    else:
+        if verbose:
+            print("Check: walk lockstep OK (64 lanes x 8 steps)")
+
+    if verbose:
+        print("Check: ALL OK" if ok else "Check: FAILURES DETECTED")
+    return ok

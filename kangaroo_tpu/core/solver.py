@@ -40,7 +40,7 @@ class SolverOptions:
     nb_run: int = 16               # jumps per device tick
     max_step: float = 0.0          # abort after max_step*expected ops (0: never)
     seed: Optional[int] = None     # herd RNG seed (None: time seed)
-    backend: str = "xla"           # 'xla' or 'pallas' jump kernel
+    backend: str = ""              # '', 'xla' or 'pallas' ('' = auto)
     out_file: str = ""             # append solved keys
     quiet: bool = False
     # Checkpointing (reference -w / -wi / -ws)
@@ -128,6 +128,7 @@ class KangarooSolver:
         key_idx: int = 0,
         progress: Optional[Callable] = None,
         max_ticks: Optional[int] = None,
+        dp_sink: Optional[Callable] = None,
     ):
         """Solve one key.  Returns SolveResult or None (abort)."""
         from ..ops import jump_ref
@@ -179,6 +180,26 @@ class KangarooSolver:
 
         inv_stop = min(1024, n)
 
+        backend = opts.backend
+        if not backend:
+            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        if backend == "pallas":
+            from ..ops import jump_pallas
+
+            block = min(jump_pallas.DEFAULT_BLOCK, n)
+
+            def tick_fn(px, py, d):
+                return jump_pallas.jump_steps_with_dp(
+                    px, py, d, jx, jy, jd, dp_masks,
+                    nb_run=opts.nb_run, block=block,
+                )
+        else:
+            def tick_fn(px, py, d):
+                return jump_ref.jump_steps_with_dp(
+                    px, py, d, jx, jy, jd, dp_masks,
+                    nb_run=opts.nb_run, inv_stop=inv_stop,
+                )
+
         while result is None:
             if max_ticks is not None and tick >= max_ticks:
                 break
@@ -188,10 +209,7 @@ class KangarooSolver:
                 > opts.max_step * self.stats.expected_ops
             ):
                 break
-            px, py, d, count, dpx, dpd, dp_step = jump_ref.jump_steps_with_dp(
-                px, py, d, jx, jy, jd, dp_masks,
-                nb_run=opts.nb_run, inv_stop=inv_stop,
-            )
+            px, py, d, count, dpx, dpd, dp_step = tick_fn(px, py, d)
             self.stats.count += n * opts.nb_run
             tick += 1
 
@@ -210,6 +228,27 @@ class KangarooSolver:
                         items.append((int(step_np[slot, lane]), int(lane), slot))
                 items.sort()
                 resets = []
+                if dp_sink is not None:
+                    # Client mode: ship DPs to the server instead of the
+                    # local table (reference: SolveKeyCPU client branch,
+                    # Kangaroo.cpp:435-456).  The sink returns True when
+                    # the server reports end-of-search.
+                    batch = []
+                    for _, lane, slot in items:
+                        x = limbs_to_int(dpx_np[slot, :, lane])
+                        ddev = limbs_to_int(dpd_np[slot, :, lane])
+                        ktype = lane % 2
+                        d_modn = herd_mod.true_distance(
+                            ddev, ktype, self.width_div2
+                        )
+                        batch.append((x, d_modn, ktype, lane))
+                    if dp_sink(batch):
+                        break
+                    now = time.time()
+                    if progress is not None and now - last_status > 2.0:
+                        progress(self, now - t0)
+                        last_status = now
+                    continue
                 for _, lane, slot in items:
                     x = limbs_to_int(dpx_np[slot, :, lane])
                     ddev = limbs_to_int(dpd_np[slot, :, lane])

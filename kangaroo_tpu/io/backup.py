@@ -219,7 +219,10 @@ def load_work(path: str, load_kangaroos: bool = True) -> LoadedWork:
         if not curve.on_curve(key):
             raise ValueError("LoadWork: key does not lie on elliptic curve")
         ht = read_hash_table(f)
-        nb = _r_u64(f)
+        # Merged files end right after the hash table (no kangaroo
+        # count, Merge.cpp:194-214); treat EOF as zero kangaroos.
+        raw = f.read(8)
+        nb = int.from_bytes(raw, "little") if len(raw) == 8 else 0
         kang = None
         dists = None
         if nb and load_kangaroos:
@@ -305,7 +308,8 @@ def work_info(path: str) -> str:
             lines.append(f"HT Max    : {mx} [@ ...]")
             lines.append(f"HT Min    : {mn} [@ ...]")
             lines.append(f"HT Avg    : {avg:.2f}")
-            nbk = _r_u64(f)
+            raw = f.read(8)  # absent in merged files (Merge.cpp:194-214)
+            nbk = int.from_bytes(raw, "little") if len(raw) == 8 else 0
             lines.append(f"Kangaroos : {nbk} 2^{math.log2(nbk) if nbk else 0:.3f}")
         elif head in (HEADK, HEADKS):
             nb = _r_u64(f)

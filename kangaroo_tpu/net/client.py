@@ -1,0 +1,229 @@
+"""Solver client: compute walks locally, stream DPs to a server.
+
+Reference: ConnectToServer/GetConfigFromServer/SendToServer/
+WaitForServer (Network.cpp:768-1254) and the client branches of
+SolveKeyCPU/SolveKeyGPU (Kangaroo.cpp:435-456,577-612).  The byte
+protocol matches the reference, so this client can feed a stock C++
+server and vice versa.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import time
+from typing import List, Optional, Tuple
+
+from ..constants import DEFAULT_PORT, SEND_PERIOD, SERVER_VERSION
+from ..core import curve
+from ..core.config import ProblemConfig
+from ..core.hashtable import convert
+from . import protocol as proto
+
+
+class ServerConnection:
+    """Blocking client connection with reconnect semantics."""
+
+    def __init__(self, ip: str, port: int = DEFAULT_PORT, timeout: float = 3.0):
+        self.ip = ip
+        self.port = port
+        self.timeout = timeout
+        self.sock: Optional[socket.socket] = None
+        self.nb_kangaroo = 0
+
+    # -- low-level ---------------------------------------------------------
+    def connect(self) -> None:
+        sock = socket.create_connection(
+            (self.ip, self.port), timeout=self.timeout
+        )
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self.sock = sock
+
+    def close(self) -> None:
+        if self.sock is not None:
+            try:
+                self.sock.close()
+            finally:
+                self.sock = None
+
+    def _cmd(self, c: int) -> None:
+        proto.send_all(self.sock, bytes([c]), self.timeout)
+
+    # -- protocol ------------------------------------------------------------
+    def get_config(self) -> Tuple[ProblemConfig, int]:
+        """GETCONFIG: returns (problem config, dp_size)."""
+        self._cmd(proto.SERVER_GETCONFIG)
+        data = proto.recv_exact(self.sock, proto.CONFIG_SIZE, self.timeout)
+        version, rs, re, kx, ky, dp = proto.unpack_config(data)
+        if version < 3:
+            raise proto.ProtocolError(
+                f"server version must be >= 3 (got {version})"
+            )
+        key = curve.PointA(kx, ky)
+        if not curve.on_curve(key):
+            raise proto.ProtocolError("server key does not lie on curve")
+        return ProblemConfig(rs, re, [key]), dp
+
+    def set_kangaroo_number(self, nb: int) -> None:
+        self.nb_kangaroo = nb
+        self._cmd(proto.SERVER_SETKNB)
+        proto.send_all(self.sock, struct.pack("<Q", nb), self.timeout)
+
+    def get_status(self) -> int:
+        self._cmd(proto.SERVER_STATUS)
+        data = proto.recv_exact(self.sock, 4, self.timeout)
+        return struct.unpack("<i", data)[0]
+
+    def send_dps(self, records: List[proto.DPRecord],
+                 thread_id: int = 0, gpu_id: int = 0) -> int:
+        """SENDDP: returns server status."""
+        self._cmd(proto.SERVER_SENDDP)
+        proto.send_all(
+            self.sock,
+            proto.pack_dp_header(len(records), thread_id, os.getpid(), gpu_id),
+            self.timeout,
+        )
+        payload = b"".join(r.pack() for r in records)
+        proto.send_all(self.sock, payload, self.timeout)
+        data = proto.recv_exact(self.sock, 4, self.timeout)
+        return struct.unpack("<i", data)[0]
+
+    def save_kangaroos_via_server(self, name: str, dists128: List[int]) -> None:
+        """SAVEKANG: ship the D-encoded distances for server-side backup."""
+        self._cmd(proto.SERVER_SAVEKANG)
+        nm = name.encode()
+        proto.send_all(self.sock, struct.pack("<I", len(nm)), self.timeout)
+        proto.send_all(self.sock, nm, self.timeout)
+        proto.send_all(
+            self.sock, struct.pack("<Q", len(dists128)), self.timeout
+        )
+        checksum = 0
+        i = 0
+        while i < len(dists128):
+            chunk = dists128[i:i + proto.KANG_PER_BLOCK]
+            proto.send_all(
+                self.sock,
+                b"".join(v.to_bytes(16, "little") for v in chunk),
+                self.timeout,
+            )
+            for v in chunk:
+                checksum += v
+            i += len(chunk)
+        proto.send_all(
+            self.sock,
+            (checksum & ((1 << 256) - 1)).to_bytes(32, "little"),
+            self.timeout,
+        )
+
+    def load_kangaroos_via_server(self, name: str) -> List[int]:
+        """LOADKANG: fetch D-encoded distances from a server-side backup."""
+        self._cmd(proto.SERVER_LOADKANG)
+        nm = name.encode()
+        proto.send_all(self.sock, struct.pack("<I", len(nm)), self.timeout)
+        proto.send_all(self.sock, nm, self.timeout)
+        nb = struct.unpack(
+            "<Q", proto.recv_exact(self.sock, 8, self.timeout)
+        )[0]
+        out: List[int] = []
+        checksum = 0
+        left = nb
+        while left > 0:
+            chunk = min(left, proto.KANG_PER_BLOCK)
+            data = proto.recv_exact(self.sock, chunk * 16, self.timeout)
+            for k in range(chunk):
+                v = int.from_bytes(data[16 * k:16 * (k + 1)], "little")
+                out.append(v)
+                checksum += v
+            left -= chunk
+        if nb:
+            want = int.from_bytes(
+                proto.recv_exact(self.sock, 32, self.timeout), "little"
+            )
+            if (checksum & ((1 << 256) - 1)) != want:
+                raise proto.ProtocolError("kangaroo download checksum mismatch")
+        return out
+
+    # -- reconnect (reference: WaitForServer, Network.cpp:889-980) ---------
+    def wait_for_server(self) -> None:
+        while True:
+            if self.sock is None:
+                try:
+                    self.connect()
+                    self.set_kangaroo_number(self.nb_kangaroo)
+                except OSError:
+                    self.close()
+                    time.sleep(1.0)
+                    continue
+            try:
+                status = self.get_status()
+            except (OSError, proto.ProtocolError):
+                self.close()
+                continue
+            if status == proto.SERVER_OK:
+                return
+            if status == proto.SERVER_END:
+                raise EndOfSearch()
+            time.sleep(1.0)
+
+
+class EndOfSearch(Exception):
+    pass
+
+
+def run_client(
+    server_ip: str,
+    port: int,
+    opts,
+    timeout: float = 3.0,
+    save_kangaroo_server: bool = False,
+    load_file: str = "",
+    max_ticks: Optional[int] = None,
+    quiet: bool = False,
+    send_period: float = SEND_PERIOD,
+) -> None:
+    """Client mode main loop (reference: clientMode branches of Run)."""
+    from ..core.solver import KangarooSolver
+
+    conn = ServerConnection(server_ip, port, timeout)
+    conn.connect()
+    cfg, dp = conn.get_config()
+    if not quiet:
+        print(f"Successfully connected to server: {server_ip}")
+    opts.dp_size = dp
+    conn.set_kangaroo_number(opts.nb_kangaroo)
+
+    solver = KangarooSolver(cfg, opts)
+    pending: List[proto.DPRecord] = []
+    last_send = [time.time()]
+
+    def dp_sink(batch) -> bool:
+        for x, d_modn, ktype, lane in batch:
+            h, x128, d128 = convert(x, d_modn, ktype)
+            pending.append(proto.DPRecord(lane, h, x128, d128))
+        now = time.time()
+        if pending and now - last_send[0] >= send_period:
+            last_send[0] = now
+            while True:
+                try:
+                    status = conn.send_dps(list(pending))
+                    pending.clear()
+                    return status == proto.SERVER_END
+                except (OSError, proto.ProtocolError):
+                    conn.close()
+                    try:
+                        conn.wait_for_server()
+                    except EndOfSearch:
+                        return True
+        return False
+
+    try:
+        solver.solve(0, dp_sink=dp_sink, max_ticks=max_ticks)
+        # flush the tail
+        if pending:
+            try:
+                conn.send_dps(list(pending))
+            except (OSError, proto.ProtocolError):
+                pass
+    finally:
+        conn.close()

@@ -1,0 +1,339 @@
+"""DP aggregation server, wire-compatible with the reference.
+
+Reference: RunServer (Network.cpp:642-766), HandleRequest
+(Network.cpp:280-610), ProcessServer (Thread.cpp:165-234).
+
+Clients compute random walks and stream distinguished points here; this
+process owns the only hash table, resolves collisions, and periodically
+checkpoints.  A stock C++ Kangaroo client can connect to this server
+(and vice versa) -- the byte protocol is identical.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import socket
+import struct
+import threading
+import time
+from typing import List, Optional
+
+from ..constants import (
+    DEFAULT_PORT,
+    MAX_CLIENT,
+    N_ORDER,
+    SEND_PERIOD,
+    SERVER_VERSION,
+    CLIENT_TIMEOUT,
+)
+from ..core import curve
+from ..core.collision import SolveResult, collision_check
+from ..core.config import ProblemConfig
+from ..core.hashtable import ADD_COLLISION, ADD_DUPLICATE, HashTable, calc_dist_and_type
+from . import protocol as proto
+
+
+class DPServer:
+    def __init__(
+        self,
+        cfg: ProblemConfig,
+        dp_size: int,
+        port: int = DEFAULT_PORT,
+        work_file: str = "",
+        save_period: float = 60.0,
+        split_work_file: bool = False,
+        out_file: str = "",
+        timeout: float = 3.0,
+    ):
+        self.cfg = cfg
+        self.dp_size = dp_size
+        self.port = port
+        self.work_file = work_file
+        self.save_period = save_period
+        self.split_work_file = split_work_file
+        self.out_file = out_file
+        self.timeout = timeout
+        self.process_period = SEND_PERIOD  # DP drain tick
+
+        self.hash_table = HashTable()
+        self.lock = threading.Lock()
+        self.recv_dp: List[proto.DPRecord] = []
+        self.connected_clients = 0
+        self.total_rw = 0
+        self.dead = 0
+        self.end_of_search = False
+        self.result: Optional[SolveResult] = None
+        self.key_idx = 0
+
+        self.range_start = cfg.range_start
+        self.range_end = cfg.range_end
+        key = cfg.keys[0]
+        sp = self.range_start % N_ORDER
+        if sp != 0:
+            self.key_to_search = curve.add(key, curve.mul(sp).neg())
+        else:
+            self.key_to_search = key
+        self.key_to_search_neg = self.key_to_search.neg()
+
+    # -- status ----------------------------------------------------------
+    def status(self) -> int:
+        if self.end_of_search:
+            return proto.SERVER_END
+        return proto.SERVER_OK
+
+    # -- client handler (one thread per connection) -----------------------
+    def _handle_client(self, conn: socket.socket, addr) -> None:
+        nb_kangaroo = 0
+        try:
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            while not self.end_of_search:
+                conn.settimeout(CLIENT_TIMEOUT)
+                cmd = conn.recv(1)
+                if not cmd:
+                    break
+                c = cmd[0]
+                if c == proto.SERVER_GETCONFIG:
+                    key = self.cfg.keys[self.key_idx]
+                    proto.send_all(conn, proto.pack_config(
+                        SERVER_VERSION, self.range_start, self.range_end,
+                        key.x, key.y, self.dp_size,
+                    ), self.timeout)
+                elif c == proto.SERVER_SETKNB:
+                    data = proto.recv_exact(conn, 8, self.timeout)
+                    delta = struct.unpack("<Q", data)[0]
+                    with self.lock:
+                        self.total_rw += delta - nb_kangaroo
+                        nb_kangaroo = delta
+                elif c == proto.SERVER_STATUS:
+                    proto.send_all(
+                        conn, struct.pack("<i", self.status()), self.timeout
+                    )
+                elif c == proto.SERVER_SENDDP:
+                    head = proto.recv_exact(
+                        conn, proto.DPHEADER_SIZE, self.timeout
+                    )
+                    nb, tid, pid, gid = proto.unpack_dp_header(head)
+                    if nb == 0:
+                        break
+                    data = proto.recv_exact(
+                        conn, nb * proto.DP_SIZE, self.timeout
+                    )
+                    records = [
+                        proto.DPRecord.unpack(
+                            data[i * proto.DP_SIZE:(i + 1) * proto.DP_SIZE]
+                        )
+                        for i in range(nb)
+                    ]
+                    proto.send_all(
+                        conn, struct.pack("<i", self.status()), self.timeout
+                    )
+                    with self.lock:
+                        self.recv_dp.extend(records)
+                elif c == proto.SERVER_RESETDEAD:
+                    proto.recv_exact(conn, 2, self.timeout)
+                    self.dead = 0
+                    proto.send_all(conn, b"OK\n", self.timeout)
+                elif c == proto.SERVER_SAVEKANG:
+                    self._handle_savekang(conn)
+                elif c == proto.SERVER_LOADKANG:
+                    self._handle_loadkang(conn)
+                else:
+                    break
+        except (ConnectionError, OSError, proto.ProtocolError):
+            pass
+        finally:
+            with self.lock:
+                self.total_rw -= nb_kangaroo
+                self.connected_clients -= 1
+            conn.close()
+
+    def _recv_filename(self, conn) -> str:
+        size = struct.unpack(
+            "<I", proto.recv_exact(conn, 4, self.timeout)
+        )[0]
+        if size >= 256:
+            raise proto.ProtocolError("FileName too long (MAX=256)")
+        name = proto.recv_exact(conn, size, self.timeout).decode(
+            "utf-8", "replace"
+        )
+        # confine server-side kangaroo backups to the working directory
+        base = os.path.basename(name)
+        return base if base else "kangaroo.bak"
+
+    def _handle_savekang(self, conn) -> None:
+        """Server-side kangaroo backup (Network.cpp:417-500): HEADKS file
+        of 16 B distance records with a 256-bit sum checksum."""
+        from ..constants import HEADKS
+
+        name = self._recv_filename(conn)
+        nb = struct.unpack("<Q", proto.recv_exact(conn, 8, self.timeout))[0]
+        tmp = name + ".tmp"
+        checksum = 0
+        with open(tmp, "wb") as f:
+            f.write(struct.pack("<II", HEADKS, 0))
+            f.write(struct.pack("<Q", nb))
+            left = nb
+            while left > 0:
+                chunk = min(left, proto.KANG_PER_BLOCK)
+                data = proto.recv_exact(conn, chunk * 16, self.timeout)
+                f.write(data)
+                for k in range(chunk):
+                    checksum += int.from_bytes(
+                        data[16 * k:16 * (k + 1)], "little"
+                    )
+                left -= chunk
+        want = int.from_bytes(
+            proto.recv_exact(conn, 32, self.timeout), "little"
+        )
+        # reference checksum is a 320-bit Int sum of 128-bit values
+        # serialized as its low 256 bits (Network.cpp:460-498)
+        if (checksum & ((1 << 256) - 1)) != want:
+            print(f"\nWarning, Kangaroo backup wrong checksum {name}")
+            os.remove(tmp)
+        else:
+            os.replace(tmp, name)
+
+    def _handle_loadkang(self, conn) -> None:
+        from ..constants import HEADKS
+
+        name = self._recv_filename(conn)
+        if not os.path.exists(name):
+            proto.send_all(conn, struct.pack("<Q", 0), self.timeout)
+            return
+        with open(name, "rb") as f:
+            head, _ = struct.unpack("<II", f.read(8))
+            if head != HEADKS:
+                proto.send_all(conn, struct.pack("<Q", 0), self.timeout)
+                return
+            nb = struct.unpack("<Q", f.read(8))[0]
+            proto.send_all(conn, struct.pack("<Q", nb), self.timeout)
+            checksum = 0
+            left = nb
+            while left > 0:
+                chunk = min(left, proto.KANG_PER_BLOCK)
+                data = f.read(chunk * 16)
+                proto.send_all(conn, data, self.timeout)
+                for k in range(chunk):
+                    checksum += int.from_bytes(
+                        data[16 * k:16 * (k + 1)], "little"
+                    )
+                left -= chunk
+        proto.send_all(
+            conn,
+            (checksum & ((1 << 256) - 1)).to_bytes(32, "little"),
+            self.timeout,
+        )
+
+    # -- DP drain loop (reference: ProcessServer, Thread.cpp:165) ---------
+    def _process_once(self) -> None:
+        with self.lock:
+            cache = self.recv_dp
+            self.recv_dp = []
+        for rec in cache:
+            if self.end_of_search:
+                break
+            status = self.hash_table.add_raw(rec.h, rec.x128, rec.d128)
+            if status == ADD_DUPLICATE:
+                self.dead += 1
+            elif status == ADD_COLLISION:
+                d2, t2 = calc_dist_and_type(rec.d128)
+                dead, res = collision_check(
+                    self.hash_table.k_dist, self.hash_table.k_type,
+                    d2, t2,
+                    self.key_to_search, self.key_to_search_neg,
+                    self.range_start,
+                )
+                if res is not None:
+                    self.result = res
+                    self.end_of_search = True
+                elif dead:
+                    self.dead += 1
+
+    def _save_work(self) -> None:
+        from ..io import backup as backup_mod
+        from ..io.merge import WorkHeader, write_work_header
+
+        name = self.work_file
+        if self.split_work_file:
+            name = self.work_file + "_" + time.strftime("%d%b%y_%H%M%S")
+        hdr = WorkHeader(
+            self.dp_size, self.range_start, self.range_end,
+            self.cfg.keys[self.key_idx], 0, 0.0,
+        )
+        tmp = name + ".tmpsave"
+        with open(tmp, "wb") as f:
+            write_work_header(f, hdr)
+            backup_mod.write_hash_table(f, self.hash_table)
+            f.write(struct.pack("<Q", 0))
+        os.replace(tmp, name)
+        if self.split_work_file:
+            self.hash_table.reset()
+
+    def _print_status(self, elapsed: float) -> None:
+        n_items = self.hash_table.n_items()
+        print(
+            f"\r[Client {self.connected_clients}]"
+            f"[Kang 2^{math.log2(self.total_rw) if self.total_rw else 0:.2f}]"
+            f"[DP Count 2^{math.log2(n_items) if n_items else 0:.2f}]"
+            f"[Dead {self.dead}][{elapsed:.0f}s]  ",
+            end="",
+        )
+
+    # -- main loop ---------------------------------------------------------
+    def run(
+        self, max_seconds: Optional[float] = None, quiet: bool = False
+    ) -> Optional[SolveResult]:
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("0.0.0.0", self.port))
+        self.port = srv.getsockname()[1]  # resolve port 0 -> ephemeral
+        srv.listen(MAX_CLIENT)
+        srv.settimeout(0.5)
+        if not quiet:
+            print(f"Kangaroo server listening on port {self.port} (DP{self.dp_size})")
+
+        t0 = time.time()
+        last_save = t0
+        last_proc = t0
+        self._srv = srv
+        try:
+            while not self.end_of_search:
+                if max_seconds is not None and time.time() - t0 > max_seconds:
+                    break
+                try:
+                    conn, addr = srv.accept()
+                    with self.lock:
+                        self.connected_clients += 1
+                    t = threading.Thread(
+                        target=self._handle_client, args=(conn, addr),
+                        daemon=True,
+                    )
+                    t.start()
+                except socket.timeout:
+                    pass
+                now = time.time()
+                if now - last_proc >= self.process_period:
+                    self._process_once()
+                    if not quiet:
+                        self._print_status(now - t0)
+                    last_proc = now
+                if (
+                    self.work_file
+                    and now - last_save > self.save_period
+                    and not self.end_of_search
+                ):
+                    self._save_work()
+                    last_save = now
+            self._process_once()
+        finally:
+            srv.close()
+        if self.result is not None and not quiet:
+            pub = curve.get_public_key_hex(self.cfg.keys[self.key_idx], True)
+            print(f"\nKey# 0 Pub:  0x{pub}")
+            print(f"       Priv: 0x{self.result.private_key:X}")
+            if self.out_file:
+                with open(self.out_file, "a") as f:
+                    f.write(f"Pub:  0x{pub}\n")
+                    f.write(f"Priv: 0x{self.result.private_key:X}\n")
+        return self.result

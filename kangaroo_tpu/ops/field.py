@@ -356,7 +356,12 @@ def modinv(a: jnp.ndarray) -> jnp.ndarray:
     )
     g = jnp.concatenate([_i(a), jnp.zeros((1, n), dtype=_I32)], axis=0)
     d = jnp.zeros_like(a)
-    e = jnp.zeros_like(a).at[0].set(jnp.uint32(1))
+    # e = 1 built without scatter (.at[].set lowers to an op Pallas
+    # TPU kernels cannot express)
+    e = jnp.concatenate(
+        [jnp.ones((1, n), dtype=_U32), jnp.zeros((15, n), dtype=_U32)],
+        axis=0,
+    )
     delta = jnp.ones((n,), dtype=_I32)
 
     def body(_, state):
@@ -371,8 +376,11 @@ def modinv(a: jnp.ndarray) -> jnp.ndarray:
     d_canon = normalize(_cond_sub_p([d[i] for i in range(16)]))
     d_neg = negmod(d_canon)
     res = jnp.where(neg[None, :], d_neg, d_canon)
-    scale = jnp.broadcast_to(
-        jnp.asarray(INV_SCALE_LIMBS, dtype=_U32)[:, None], res.shape
+    # Build the constant from scalar fills (not a captured array) so this
+    # stays legal inside Pallas kernel bodies.
+    scale = jnp.stack(
+        [jnp.full_like(res[0], int(INV_SCALE_LIMBS[i])) for i in range(16)],
+        axis=0,
     )
     return mulmod(res, scale)
 

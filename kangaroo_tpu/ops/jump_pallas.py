@@ -42,21 +42,32 @@ INV_STOP = 128
 
 
 def _gather_onehot(jmp: jnp.ndarray, tbl: jnp.ndarray) -> jnp.ndarray:
-    """Per-lane gather tbl[:, jmp] via one-hot matmul (MXU-friendly).
+    """Per-lane gather tbl[:, jmp] via one-hot matmuls (MXU-friendly).
 
     tbl: (L, 32) uint32 16-bit limbs; jmp: (N,) uint32 in [0,32).
-    16-bit values are exact in f32, and a one-hot contraction over 32
-    entries cannot lose precision.
+    The 16-bit limbs are split into bytes so every product is exact
+    even when the matmul unit runs at bf16 precision (8-bit mantissa):
+    a one-hot contraction then selects a single byte value <= 255 with
+    no rounding, independent of the backend's matmul precision.
     """
     iota = jax.lax.broadcasted_iota(jnp.uint32, (NB_JUMP, jmp.shape[0]), 0)
-    onehot = (iota == jmp[None, :]).astype(jnp.float32)
-    got = jax.lax.dot_general(
-        tbl.astype(jnp.float32),
+    # Mosaic has no uint32<->float32 cast; route through int32 (values
+    # here are all < 2^16, so the signed detour is lossless).
+    onehot = (iota == jmp[None, :]).astype(jnp.int32).astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    lo = jax.lax.dot_general(
+        (tbl & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.float32),
         onehot,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
     )
-    return got.astype(jnp.uint32)
+    hi = jax.lax.dot_general(
+        (tbl >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32),
+        onehot,
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    )
+    lo_u = lo.astype(jnp.int32).astype(jnp.uint32)
+    hi_u = hi.astype(jnp.int32).astype(jnp.uint32)
+    return lo_u | (hi_u << 8)
 
 
 def _jump_kernel(

@@ -1,0 +1,155 @@
+"""Work-file merge tests: duplicate handling, collision-solve-on-merge,
+directory fold-merge, and the 256-partition path.
+
+Counterpart of the reference's merge machinery (Merge.cpp,
+PartMerge.cpp) exercised with synthetic-but-valid DPs derived from real
+curve points.
+"""
+
+import os
+
+import pytest
+
+from kangaroo_tpu.core import curve
+from kangaroo_tpu.core.hashtable import HashTable
+from kangaroo_tpu.io import backup, merge
+from kangaroo_tpu.io.merge import WorkHeader, write_work_header
+
+
+RANGE_START = 0x100000
+RANGE_END = 0x1FFFFF
+K_PRIV = 0x15A3B7  # inside [RANGE_START, RANGE_END]
+
+
+def _key_point():
+    return curve.mul(K_PRIV)
+
+
+def _key_to_search():
+    # keyToSearch = P - rangeStart*G; its log is K_PRIV - RANGE_START
+    return curve.add(_key_point(), curve.mul(RANGE_START).neg())
+
+
+def make_dp(dist: int, ktype: int):
+    """A valid (x, dist, type) DP: x of dist*G (tame) or key+dist*G."""
+    pt = curve.mul(dist)
+    if ktype == 1:
+        pt = curve.add(_key_to_search(), pt)
+    return pt.x, dist, ktype
+
+
+def save_table(path, ht: HashTable, count=100, t=1.0):
+    hdr = WorkHeader(8, RANGE_START, RANGE_END, _key_point(), count, t)
+    with open(path, "wb") as f:
+        write_work_header(f, hdr)
+        backup.write_hash_table(f, ht)
+
+
+def test_merge_union_and_duplicates(tmp_path):
+    ht1, ht2 = HashTable(), HashTable()
+    for dist in range(1000, 1016):
+        x, d, t = make_dp(dist, 0)
+        ht1.add_dp(x, d, t)
+    for dist in range(1010, 1026):  # 6 overlap -> duplicates
+        x, d, t = make_dp(dist, 0)
+        ht2.add_dp(x, d, t)
+    f1, f2, fd = (str(tmp_path / n) for n in ("a.work", "b.work", "m.work"))
+    save_table(f1, ht1)
+    save_table(f2, ht2)
+    ok, res, dead = merge.merge_work(f1, f2, fd, verbose=False)
+    assert ok and res is None
+    assert dead == 6
+    lw = backup.load_work(fd)
+    assert lw.hash_table.n_items() == 26
+    assert lw.count == 200
+    assert lw.time == 2.0
+
+
+def test_merge_solves_collision(tmp_path):
+    # tame t*G == wild key+w*G  <=>  t = k' + w with k' = K - rangeStart
+    k_translated = K_PRIV - RANGE_START
+    w = 0xABC
+    t = k_translated + w
+    ht1, ht2 = HashTable(), HashTable()
+    xt, dt, tt = make_dp(t, 0)
+    xw, dw, tw = make_dp(w, 1)
+    assert xt == xw, "engineered collision must share x"
+    ht1.add_dp(xt, dt, tt)
+    ht2.add_dp(xw, dw, tw)
+    f1, f2, fd = (str(tmp_path / n) for n in ("a.work", "b.work", "m.work"))
+    save_table(f1, ht1)
+    save_table(f2, ht2)
+    ok, res, dead = merge.merge_work(f1, f2, fd, verbose=False)
+    assert res is not None
+    assert res.private_key == K_PRIV
+    assert not os.path.exists(fd), "no dest written when solved"
+
+
+def test_merge_incompatible_range(tmp_path):
+    ht = HashTable()
+    f1, f2 = str(tmp_path / "a.work"), str(tmp_path / "b.work")
+    save_table(f1, ht)
+    hdr = WorkHeader(8, RANGE_START + 1, RANGE_END, _key_point(), 0, 0.0)
+    with open(f2, "wb") as f:
+        write_work_header(f, hdr)
+        backup.write_hash_table(f, ht)
+    with pytest.raises(ValueError):
+        merge.merge_work(f1, f2, str(tmp_path / "m.work"), verbose=False)
+
+
+def test_merge_dir(tmp_path):
+    d = tmp_path / "workdir"
+    d.mkdir()
+    total = 0
+    for fi in range(3):
+        ht = HashTable()
+        for dist in range(2000 + 16 * fi, 2000 + 16 * (fi + 1)):
+            x, dd, t = make_dp(dist, fi % 2)
+            ht.add_dp(x, dd, t)
+            total += 1
+        save_table(str(d / f"w{fi}.work"), ht)
+    dest = str(tmp_path / "merged.work")
+    ok, res, dead = merge.merge_dir(str(d), dest)
+    assert ok and res is None and dead == 0
+    lw = backup.load_work(dest)
+    assert lw.hash_table.n_items() == total
+
+
+def test_partitioned_merge(tmp_path):
+    part = str(tmp_path / "parts")
+    merge.create_empty_part_work(part)
+    assert os.path.getsize(os.path.join(part, "part000")) == 8 * merge.H_PER_PART
+
+    ht1, ht2 = HashTable(), HashTable()
+    for dist in range(3000, 3032):
+        x, dd, t = make_dp(dist, 0)
+        ht1.add_dp(x, dd, t)
+    for dist in range(3016, 3048):
+        x, dd, t = make_dp(dist, 0)
+        ht2.add_dp(x, dd, t)
+    f1, f2 = str(tmp_path / "a.work"), str(tmp_path / "b.work")
+    save_table(f1, ht1)
+    save_table(f2, ht2)
+
+    ok, res, dead = merge.merge_work_part(part, f1)  # fill empty
+    assert ok and res is None
+    ok, res, dead = merge.merge_work_part(part, f2)
+    assert ok and res is None
+    assert dead == 16
+
+    # fold the partitions back through a second dir merge: dir <- dir
+    part2 = str(tmp_path / "parts2")
+    merge.create_empty_part_work(part2)
+    ok, res, dead = merge.merge_work_part_part(part2, part, nb_thread=4)
+    assert ok and res is None
+
+    # count DPs across partitions of part2
+    n = 0
+    for p in range(merge.MERGE_PART):
+        with open(merge.part_name(part2, p), "rb") as f:
+            for _ in range(merge.H_PER_PART):
+                nb = backup._r_u32(f)
+                backup._r_u32(f)
+                f.read(32 * nb)
+                n += nb
+    assert n == 48

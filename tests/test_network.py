@@ -1,0 +1,103 @@
+"""Loopback client/server test of the DP aggregation protocol.
+
+The reference has no automated multi-node test (README shows manual
+loopback runs); this adds the fake-transport coverage SURVEY.md SS4
+calls for: a real TCP server on an ephemeral port, a solver client
+streaming DPs, and the server resolving the collision.
+"""
+
+import struct
+import threading
+import time
+
+import pytest
+
+from kangaroo_tpu.core import curve
+from kangaroo_tpu.core.config import ProblemConfig
+from kangaroo_tpu.core.solver import SolverOptions
+from kangaroo_tpu.net import protocol as proto
+from kangaroo_tpu.net.client import ServerConnection, run_client
+from kangaroo_tpu.net.server import DPServer
+
+
+def make_server(k_priv, width_bits, dp=2):
+    start = 0x40000
+    cfg = ProblemConfig(
+        start, start + (1 << width_bits) - 1, [curve.mul(start + k_priv)]
+    )
+    srv = DPServer(cfg, dp, port=0)
+    srv.process_period = 0.2
+    return srv, start + k_priv
+
+
+def test_protocol_roundtrip():
+    rec = proto.DPRecord(7, 123, (1 << 100) + 5, (1 << 120) + 9)
+    assert proto.DPRecord.unpack(rec.pack()) == rec
+    hdr = proto.pack_dp_header(42, 1, 2, 3)
+    assert len(hdr) == proto.DPHEADER_SIZE
+    assert proto.unpack_dp_header(hdr) == (42, 1, 2, 3)
+    cfgb = proto.pack_config(3, 10, 20, 30, 40, 16)
+    assert proto.unpack_config(cfgb) == (3, 10, 20, 30, 40, 16)
+
+
+def test_loopback_config_and_status():
+    srv, _ = make_server(0x1234, 18)
+    t = threading.Thread(
+        target=srv.run, kwargs={"max_seconds": 20, "quiet": True}, daemon=True
+    )
+    t.start()
+    time.sleep(0.8)
+
+    conn = ServerConnection("127.0.0.1", srv.port, timeout=5.0)
+    conn.connect()
+    cfg, dp = conn.get_config()
+    assert dp == 2
+    assert cfg.range_start == srv.range_start
+    assert cfg.keys[0] == srv.cfg.keys[0]
+    conn.set_kangaroo_number(64)
+    assert conn.get_status() == proto.SERVER_OK
+    time.sleep(0.1)
+    assert srv.total_rw == 64
+    conn.close()
+    srv.end_of_search = True
+    t.join(timeout=10)
+
+
+def test_loopback_solve():
+    """Client walks a tiny 16-bit range; server finds the collision."""
+    srv, k = make_server(0xBEE, 16, dp=1)
+    t = threading.Thread(
+        target=srv.run, kwargs={"max_seconds": 120, "quiet": True}, daemon=True
+    )
+    t.start()
+    time.sleep(0.8)
+
+    opts = SolverOptions(nb_kangaroo=64, nb_run=8, seed=5)
+    run_client(
+        "127.0.0.1", srv.port, opts,
+        timeout=5.0, max_ticks=4000, quiet=True, send_period=0.2,
+    )
+    t.join(timeout=30)
+    assert srv.result is not None
+    assert srv.result.private_key == k
+
+
+def test_server_side_kangaroo_backup(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    srv, _ = make_server(0x777, 18)
+    t = threading.Thread(
+        target=srv.run, kwargs={"max_seconds": 30, "quiet": True}, daemon=True
+    )
+    t.start()
+    time.sleep(0.8)
+
+    conn = ServerConnection("127.0.0.1", srv.port, timeout=5.0)
+    conn.connect()
+    dists = [(i << 64) + i * 3 + 1 for i in range(1, 300)]
+    conn.save_kangaroos_via_server("kang.bak", dists)
+    time.sleep(0.3)
+    got = conn.load_kangaroos_via_server("kang.bak")
+    assert got == dists
+    conn.close()
+    srv.end_of_search = True
+    t.join(timeout=10)
