@@ -25,26 +25,32 @@ def main() -> None:
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
 
-    from kangaroo_tpu.core import curve, herd as herd_mod
+    import numpy as np
+
     from kangaroo_tpu.core.jumptable import create_jump_table
     from kangaroo_tpu.ops import jump_ref
-    from kangaroo_tpu.utils.rng import MT19937
 
     n = 1 << 19 if on_tpu else 1 << 12
-    nb_run = 64 if on_tpu else 8
-    reps = 5 if on_tpu else 2
+    nb_run = 128 if on_tpu else 8
+    reps = 3 if on_tpu else 2
 
     range_power = 64
-    width_div2 = ((1 << range_power) - 1) >> 1
-    key = curve.mul(0xC0FFEE123456789)
-    px, py, d = herd_mod.create_herd(
-        n, range_power, width_div2, key, 0, MT19937(1234)
-    )
+    # Random herd state: the jump arithmetic is data-independent, so
+    # throughput is identical to a real herd, and this avoids the slow
+    # cold-path herd creation dominating the bench wall time.
+    rng = np.random.RandomState(1234)
+    px = jnp.asarray(rng.randint(0, 1 << 16, size=(16, n)).astype(np.uint32))
+    py = jnp.asarray(rng.randint(0, 1 << 16, size=(16, n)).astype(np.uint32))
+    d = jnp.asarray(rng.randint(0, 1 << 16, size=(8, n)).astype(np.uint32))
     jt = create_jump_table(range_power)
     jx_np, jy_np, jd_np = jt.as_arrays()
-    px, py, d = jnp.asarray(px), jnp.asarray(py), jnp.asarray(d)
     jx, jy, jd = jnp.asarray(jx_np), jnp.asarray(jy_np), jnp.asarray(jd_np)
     masks = jnp.asarray(jump_ref.dp_limb_masks(20))
+
+    def barrier(x):
+        # jax.block_until_ready does NOT wait through async remote
+        # execution backends; a host read of one element does.
+        return int(np.asarray(x[0:1, 0:1])[0, 0])
 
     backend = None
     if on_tpu:
@@ -58,7 +64,7 @@ def main() -> None:
                     px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=blk
                 )
 
-            jax.block_until_ready(step(px, py, d))  # compile + smoke
+            barrier(step(px, py, d)[0])  # compile + smoke + drain
             backend = step
         except Exception:
             backend = None
@@ -69,7 +75,7 @@ def main() -> None:
                 nb_run=nb_run, inv_stop=min(1024, n),
             )
 
-        jax.block_until_ready(step(px, py, d))
+        barrier(step(px, py, d)[0])
         backend = step
 
     # timed reps; state threads through so nothing is DCE'd
@@ -77,7 +83,7 @@ def main() -> None:
     for _ in range(reps):
         out = backend(px, py, d)
         px, py, d = out[0], out[1], out[2]
-    jax.block_until_ready((px, py, d))
+    barrier(px)
     dt = time.perf_counter() - t0
 
     jumps = n * nb_run * reps

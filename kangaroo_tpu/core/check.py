@@ -210,7 +210,8 @@ def run_self_check(verbose: bool = True) -> bool:
         ("batchinv", field.batch_inv(A, stop=64), [pow(a, -1, P) for a in avals]),
     ]
     for name, got, want in checks:
-        got_i = [int(v) for v in limbs_to_ints_fast(np.asarray(got))]
+        # field ops are relaxed (< 2^256 representatives); compare mod p
+        got_i = [int(v) % P for v in limbs_to_ints_fast(np.asarray(got))]
         if got_i != want:
             ok = False
             if verbose:

@@ -95,6 +95,10 @@ def create_herd(
 
     types = np.array([(j + first_type) % 2 for j in range(nb)], dtype=np.uint32)
     wild_mask = jnp.asarray(types == WILD)
+    if key_point is not None and key_point.is_zero:
+        # keyToSearch is the identity (the key IS rangeStart*G): wild
+        # positions degenerate to d*G, same as tame
+        key_point = None
     if key_point is not None and bool(np.any(types == WILD)):
         kx = jnp.asarray(
             np.broadcast_to(int_to_limbs(key_point.x)[:, None], (NB_LIMB, nb))

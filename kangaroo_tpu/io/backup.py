@@ -166,9 +166,13 @@ def save_work(
             ds = limbs_to_ints_fast(d)
             from ..core.herd import true_distance
 
+            from ..constants import P
+
             for i in range(n):
                 _w_int(f, int(xs[i]), 32)
-                _w_int(f, int(ys[i]), 32)
+                # y is carried on-device in relaxed form (< 2^256);
+                # canonicalize so stored points are reference-exact
+                _w_int(f, int(ys[i]) % P, 32)
                 _w_int(
                     f,
                     true_distance(int(ds[i]), i % 2, solver.width_div2),
@@ -273,10 +277,94 @@ def save_kangaroo_file(
                 _, _, d128 = convert(0, dist, i % 2)
                 _w_int(f, d128, 16)
             else:
+                from ..constants import P
+
                 _w_int(f, int(xs[i]), 32)
-                _w_int(f, int(ys[i]), 32)
+                _w_int(f, int(ys[i]) % P, 32)  # relaxed y -> canonical
                 _w_int(f, dist, 32)
     os.replace(tmp, path)
+
+
+def load_kangaroo_file(
+    path: str,
+    range_start: int,
+    range_end: int,
+    key_to_search: Optional[curve.PointA],
+):
+    """Load a HEADK/HEADKS kangaroo-only file -> (px, py, d_dev) arrays.
+
+    HEADK stores (x, y, dist) triplets; HEADKS stores only the 16-byte
+    D-encoded distance of each kangaroo and the positions are rebuilt
+    with the batched scalar multiply, like the reference's compressed
+    fetch (FetchWalks, Backup.cpp:233-289: rebuild = dist*G, plus
+    keyToSearch for wild parity).
+    """
+    import numpy as np
+
+    from ..core.herd import device_distance
+    from ..utils.intutils import ints_to_limbs
+
+    with open(path, "rb") as f:
+        head = read_header(f)
+        if head not in (HEADK, HEADKS):
+            raise ValueError(f"{path}: not a kangaroo-only file")
+        nb = _r_u64(f)
+        width_div2 = (range_end - range_start) >> 1
+        if head == HEADK:
+            xs, ys, ds = [], [], []
+            for i in range(nb):
+                xs.append(_r_int(f, 32))
+                ys.append(_r_int(f, 32))
+                ds.append(_r_int(f, 32))
+            ddev = [
+                device_distance(dm, i % 2, width_div2)
+                for i, dm in enumerate(ds)
+            ]
+            return (
+                ints_to_limbs(xs, 16),
+                ints_to_limbs(ys, 16),
+                ints_to_limbs(ddev, 8),
+            )
+        # HEADKS: rebuild positions from D-encoded distances
+        import jax.numpy as jnp
+
+        from ..core.hashtable import calc_dist_and_type
+        from ..ops import ec
+
+        dists, types = [], []
+        for _ in range(nb):
+            d128 = _r_int(f, 16)
+            dist, ktype = calc_dist_and_type(d128)
+            dists.append(dist)
+            types.append(ktype)
+    ks = jnp.asarray(ints_to_limbs([dm % N_ORDER for dm in dists]))
+    px, py, p_zero = ec.scalar_mult_base_batch(ks)
+    wild = np.asarray(types, dtype=np.uint32) == WILD
+    if wild.any():
+        if key_to_search is None:
+            raise ValueError("HEADKS with wild kangaroos needs the key")
+        from ..utils.intutils import int_to_limbs
+
+        kx = jnp.asarray(
+            np.broadcast_to(int_to_limbs(key_to_search.x)[:, None], (16, nb))
+        )
+        ky = jnp.asarray(
+            np.broadcast_to(int_to_limbs(key_to_search.y)[:, None], (16, nb))
+        )
+        wx, wy, _ = ec.affine_add_batch_masked(
+            kx, ky, jnp.zeros((nb,), dtype=bool), px, py, p_zero
+        )
+        sel = jnp.asarray(wild)[None, :]
+        px = jnp.where(sel, wx, px)
+        py = jnp.where(sel, wy, py)
+    ddev = [
+        device_distance(dm, t, width_div2) for dm, t in zip(dists, types)
+    ]
+    return (
+        np.asarray(px),
+        np.asarray(py),
+        ints_to_limbs(ddev, 8),
+    )
 
 
 def work_info(path: str) -> str:

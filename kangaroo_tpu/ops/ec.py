@@ -44,9 +44,9 @@ def affine_add_batch(
     inv = field.batch_inv(dx, stop=inv_stop)
     lam = field.mulmod(dy, inv)
     lam2 = field.sqrmod(lam)
-    x3 = field.submod(field.submod(lam2, p1x), p2x)
-    y3 = field.submod(
-        field.mulmod(lam, field.submod(p2x, x3)), p2y
+    x3 = field.canonicalize(field.submod(field.submod(lam2, p1x), p2x))
+    y3 = field.canonicalize(
+        field.submod(field.mulmod(lam, field.submod(p2x, x3)), p2y)
     )
     return x3, y3
 
@@ -74,8 +74,10 @@ def affine_add_batch_masked(
     dy = field.submod(qy, accy)
     lam = field.mulmod(dy, inv)
     lam2 = field.sqrmod(lam)
-    x3 = field.submod(field.submod(lam2, accx), qx)
-    y3 = field.submod(field.mulmod(lam, field.submod(qx, x3)), qy)
+    x3 = field.canonicalize(field.submod(field.submod(lam2, accx), qx))
+    y3 = field.canonicalize(
+        field.submod(field.mulmod(lam, field.submod(qx, x3)), qy)
+    )
     outx = jnp.where(
         acc_zero[None, :], qx, jnp.where(q_zero[None, :], accx, x3)
     )

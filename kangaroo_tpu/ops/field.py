@@ -71,91 +71,147 @@ def _i(x):
 
 
 # ----------------------------------------------------------------------
+# Array-level limb primitives
+#
+# All public field ops are built from whole-array (R, N) operations --
+# the limb axis rides the TPU sublane dimension, so every op is a
+# full-width VPU instruction and the HLO graph stays small (fast XLA
+# compiles, fast Mosaic lowering).
+# ----------------------------------------------------------------------
+
+# Plain Python ints (not jnp scalars): Pallas kernels reject captured
+# array constants, and ints fold into each op's immediate operand.
+_M16 = 0xFFFF
+
+
+def _fit(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """Pad with zero rows (or trim zero rows) to exactly `rows`."""
+    r = x.shape[0]
+    if r == rows:
+        return x
+    if r < rows:
+        z = jnp.zeros((rows - r,) + x.shape[1:], x.dtype)
+        return jnp.concatenate([x, z], axis=0)
+    return x[:rows]
+
+
+def _down(x: jnp.ndarray, k: int, rows: int) -> jnp.ndarray:
+    """Value * 2^(16k): shift rows toward higher limb index, width `rows`.
+
+    Trimmed top rows must be zero by the caller's bound contract.
+    """
+    if k == 0:
+        return _fit(x, rows)
+    z = jnp.zeros((k,) + x.shape[1:], x.dtype)
+    return _fit(jnp.concatenate([z, x], axis=0), rows)
+
+
+def _carry1(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """One relaxed carry pass: out[k] = (x[k] & M) + (x[k-1] >> 16)."""
+    lo = x & _M16
+    c = x >> 16
+    return _fit(lo, rows) + _down(c, 1, rows)
+
+
+def _carry_exact(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """Exact carry propagation (Kogge-Stone), limbs out < 2^16.
+
+    Contract: input limbs < 2^17 (carry digits in {0,1}) and total
+    value < 2^(16*rows) so no carry leaves the top row.
+    """
+    x = _fit(x, rows)
+    lo = x & _M16
+    g = x >> 16                 # generate, in {0,1}
+    p = (lo + jnp.uint32(1)) >> 16  # propagate: 1 iff lo == 0xFFFF
+    s = 1
+    while s < rows:
+        g = g | (p & _down(g, s, rows))
+        p = p & _down(p, s, rows)
+        s <<= 1
+    cin = _down(g, 1, rows)
+    return (lo + cin) & _M16
+
+
+def _carry_full(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """Exact carry for relaxed columns (entries < 2^32)."""
+    return _carry_exact(_carry1(x, rows), rows)
+
+
+def _embed_c(top: jnp.ndarray) -> jnp.ndarray:
+    """(N,) small scalar t -> 16-row array of t*c = t*977 + t*2^32."""
+    z = jnp.zeros_like(top)[None, :]
+    return jnp.concatenate(
+        [(top * jnp.uint32(C_LOW))[None, :], z, top[None, :]]
+        + [z] * 13,
+        axis=0,
+    )
+
+
+def _fold_small_arr(x16: jnp.ndarray, top: jnp.ndarray) -> jnp.ndarray:
+    """Fold value = x16 + top*2^256 (top < 2^16) mod p -> < 2^256.
+
+    Same lemma as the reference fold (IntMod.cpp:873-950 semantics): if
+    the first fold carries out of 2^256, the remaining low part is
+    tiny, so the second fold cannot carry again.
+    """
+    y = _carry_full(_fit(x16, 17) + _fit(_embed_c(top), 17), 17)
+    top2 = y[16]
+    z = y[:16] + _embed_c(top2)   # limbs < 2^16 + 977 < 2^17
+    return _carry_exact(z, 16)
+
+
+def _const_cols(vals: np.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Constant limb array (R, N) derived from a tracer.
+
+    Derived from `like` (any (.., N) tracer) so no concrete array is
+    captured -- Pallas kernels reject captured array constants; XLA
+    folds the adds to a broadcast constant anyway.
+    """
+    z = jnp.zeros_like(like[0:1])  # (1, N)
+    return jnp.concatenate([z + jnp.uint32(int(v)) for v in vals], axis=0)
+
+
+def _cond_sub_p_arr(x: jnp.ndarray) -> jnp.ndarray:
+    """If x >= p subtract p (x < 2^256 canonical limbs in, canonical out).
+
+    x >= p  <=>  x + c carries out of 2^256.
+    """
+    s = _carry_exact(_fit(x, 17) + _fit(_embed_c(jnp.ones_like(x[0])), 17), 17)
+    take = (s[16] == 1)[None, :]
+    return jnp.where(take, s[:16], x)
+
+
+# ----------------------------------------------------------------------
 # Addition / subtraction mod p
 # ----------------------------------------------------------------------
 
-def add_carry(limbs: Sequence[jnp.ndarray], n_out: int) -> List[jnp.ndarray]:
-    """Carry-propagate uint32 column sums into 16-bit limbs."""
-    out = []
-    carry = jnp.zeros_like(limbs[0])
-    for i in range(n_out):
-        t = (limbs[i] if i < len(limbs) else jnp.zeros_like(carry)) + carry
-        out.append(t & LIMB_MASK)
-        carry = t >> LIMB_BITS
-    return out
-
-
-def _cond_sub_p(limbs: List[jnp.ndarray]) -> List[jnp.ndarray]:
-    """If value >= p subtract p.  Input < 2^256, output canonical.
-
-    Uses x >= p  <=>  x + c >= 2^256: compute x + c and keep it (mod
-    2^256) exactly when it carries out.
-    """
-    plusc = []
-    carry = jnp.full_like(limbs[0], 0)
-    add = [C_LOW, 0, 1] + [0] * 13  # c = 2^32 + 977
-    for i in range(16):
-        t = limbs[i] + jnp.uint32(add[i]) + carry
-        plusc.append(t & LIMB_MASK)
-        carry = t >> LIMB_BITS
-    take = carry  # 1 where x >= p
-    return [jnp.where(take == 1, plusc[i], limbs[i]) for i in range(16)]
-
-
-def normalize(cols: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """Stack 16 limb vectors into an (16, N) array."""
-    return jnp.stack(cols, axis=0)
-
-
 def addmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a + b) mod p, canonical for canonical inputs."""
-    cols = [a[i] + b[i] for i in range(16)]
-    limbs = add_carry(cols, 17)
-    # value < 2^257: fold the top bit: + top*c
-    top = limbs[16]
-    limbs = _fold_small(limbs[:16], top)
-    return normalize(_cond_sub_p(limbs))
+    """(a + b) mod p, relaxed: output < 2^256, not necessarily < p.
+
+    All field ops accept any representative < 2^256; only the walk's x
+    coordinate is canonicalized (see `canonicalize`), mirroring how the
+    reference keeps values reduced only where DP/jump semantics need it.
+    """
+    t = _carry_exact(_fit(a, 17) + _fit(b, 17), 17)  # limbs < 2^17 OK
+    return _fold_small_arr(t[:16], t[16])
+
+
+def _one_row0(like: jnp.ndarray) -> jnp.ndarray:
+    """+1 at row 0 (the two's-complement carry-in), tracer-derived."""
+    z = jnp.zeros_like(like[0:1])
+    return jnp.concatenate([z + jnp.uint32(1)] + [z] * 15, axis=0)
 
 
 def submod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a - b) mod p, canonical for inputs < 2^256."""
-    # a - b + p (p > any canonical b, so result in [0, 2^257))
-    cols = []
-    borrow_guard = []
-    carry = jnp.zeros_like(a[0])
-    for i in range(16):
-        t = a[i] + jnp.uint32(P_LIMBS[i]) + (LIMB_MASK ^ b[i]) + carry
-        # two's complement subtraction: a + p + (~b) + 1; fold the +1 into
-        # the first limb's carry-in.
-        if i == 0:
-            t = t + jnp.uint32(1)
-        cols.append(t & LIMB_MASK)
-        carry = t >> LIMB_BITS
-    top = carry  # value = a - b + p + 2^256*0... carry is the 2^256 part
-    # full value = (a + p - b); since a,b < 2^256 and p < 2^256 the sum of
-    # (a + p + (2^256 - b)) = a + p - b + 2^256, so the 2^256 carry is
-    # always >= 1; subtract it: actual top = carry - 1.
-    limbs = _fold_small(cols, top - 1)
-    return normalize(_cond_sub_p(limbs))
+    """(a - b) mod p, canonical for inputs < 2^256.
 
-
-def _fold_small(limbs: List[jnp.ndarray], top: jnp.ndarray) -> List[jnp.ndarray]:
-    """Fold value = limbs + top*2^256 (top small, < 2^20) mod p.
-
-    Result < 2^256 (list of 16 limbs).
+    Computes a + p + (~b) + 1 = a - b + p + 2^256; the guaranteed
+    2^256 carry is dropped and the residual top folded.
     """
-    cols = list(limbs)
-    cols[0] = cols[0] + top * jnp.uint32(C_LOW)
-    cols[2] = cols[2] + top
-    out = add_carry(cols, 17)
-    # second, tiny fold: top2 in {0,1}
-    top2 = out[16]
-    cols2 = out[:16]
-    cols2[0] = cols2[0] + top2 * jnp.uint32(C_LOW)
-    cols2[2] = cols2[2] + top2
-    out2 = add_carry(cols2, 16)
-    # cannot carry out again: value was < 2^256 + small
-    return out2
+    t = a + _const_cols(P_LIMBS, a) + (_M16 ^ b) + _one_row0(a)  # < 2^18
+    t = _carry1(t, 17)            # limbs < 2^16 + 4 -> KS-safe
+    t = _carry_exact(t, 17)
+    return _fold_small_arr(t[:16], t[16] - jnp.uint32(1))
 
 
 def negmod(a: jnp.ndarray) -> jnp.ndarray:
@@ -169,65 +225,80 @@ def negmod(a: jnp.ndarray) -> jnp.ndarray:
 # Multiplication mod p
 # ----------------------------------------------------------------------
 
-def mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> List[jnp.ndarray]:
-    """Schoolbook 256x256 multiply -> 32 relaxed columns (< 2^21)."""
-    zeros = jnp.zeros_like(a[0])
-    cols = [zeros] * 32
+def mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Schoolbook 256x256 multiply -> (32, N) relaxed columns (< 2^21).
+
+    Whole-array formulation: partial product i is the (16, N) vector
+    b * a_i, split into 16-bit halves (the only operation that must
+    happen per product at full precision), then the 16 shifted partial
+    products are combined with a balanced adder tree whose operand
+    widths grow from 17 to 32 rows -- most adds run at half the width
+    of a naive 32-row accumulator.  Limb axis = sublanes; ~100 HLO ops.
+    """
+    terms = []
     for i in range(16):
-        ai = a[i]
-        for j in range(16):
-            prod = ai * b[j]
-            cols[i + j] = cols[i + j] + (prod & LIMB_MASK)
-            cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
-    return cols
+        t = b * a[i][None, :]          # (16, N) full 32-bit products
+        lo = t & _M16
+        hi = t >> 16
+        # value_i = (lo + hi*2^16) * 2^(16*i); keep as 17 rows < 2^17
+        terms.append(_fit(lo, 17) + _down(hi, 1, 17))
+    # Balanced adder tree.  terms[j] at level with row-gap `gap` holds
+    # the partial sum whose absolute placement is gap*j rows; adjacent
+    # terms are combined with a relative down-shift of `gap` rows.
+    gap = 1
+    while len(terms) > 1:
+        nxt = []
+        for i in range(0, len(terms), 2):
+            if i + 1 < len(terms):
+                lo_t = terms[i]
+                hi_t = terms[i + 1]
+                rows = min(hi_t.shape[0] + gap, 32)
+                nxt.append(_fit(lo_t, rows) + _down(hi_t, gap, rows))
+            else:
+                nxt.append(terms[i])
+        terms = nxt
+        gap *= 2
+    # limb magnitudes: level k sums <= 2^(17+k) <= 2^21 for k=4  < 2^32
+    return _fit(terms[0], 32)
 
 
-def sqr_columns(a: jnp.ndarray) -> List[jnp.ndarray]:
-    """Squaring: exploit symmetry, ~half the multiplies."""
-    zeros = jnp.zeros_like(a[0])
-    cols = [zeros] * 32
-    for i in range(16):
-        prod = a[i] * a[i]
-        cols[2 * i] = cols[2 * i] + (prod & LIMB_MASK)
-        cols[2 * i + 1] = cols[2 * i + 1] + (prod >> LIMB_BITS)
-    for i in range(16):
-        ai = a[i]
-        for j in range(i + 1, 16):
-            prod = ai * a[j]
-            lo = (prod & LIMB_MASK) << 1
-            hi = (prod >> LIMB_BITS) << 1
-            cols[i + j] = cols[i + j] + lo
-            cols[i + j + 1] = cols[i + j + 1] + hi
-    return cols
+def sqr_columns(a: jnp.ndarray) -> jnp.ndarray:
+    """Squaring columns.  With array-level ops the symmetric shortcut
+    saves no row-operations (rows, not limb products, are the unit), so
+    squaring reuses the multiply."""
+    return mul_columns(a, a)
 
 
-def reduce_512(cols: List[jnp.ndarray]) -> jnp.ndarray:
-    """Reduce 32 relaxed columns (each < 2^22) mod p to canonical form."""
-    # Fold 1: value = L + H*2^256, H*2^256 === H*(2^32 + 977) (mod p).
-    f1 = []
-    zeros = jnp.zeros_like(cols[0])
-    for k in range(18):
-        t = cols[k] if k < 16 else zeros
-        if k < 16:
-            t = t + cols[16 + k] * jnp.uint32(C_LOW)
-        if 2 <= k:
-            t = t + cols[16 + k - 2]
-        f1.append(t)
-    m = add_carry(f1, 19)
-    # Fold 2: H1 = limbs 16..18 (H1 < 2^40)
+def reduce_512(cols: jnp.ndarray) -> jnp.ndarray:
+    """Reduce (32, N) relaxed columns (< 2^22) mod p to canonical form.
+
+    Fold semantics of the reference's _ModMult (IntMod.cpp:873-950):
+    H*2^256 === H*(2^32 + 977) (mod p), applied twice, then a small
+    fold + conditional subtract.
+    """
+    lo = cols[:16]
+    hi = cols[16:]
+    # Fold 1: < 2^22 + 977*2^22 + 2^22 < 2^32
+    f = _fit(lo, 18) + _fit(hi * jnp.uint32(C_LOW), 18) + _down(hi, 2, 18)
+    m = _carry_full(f, 19)
+    # Fold 2: H1 = rows 16..18 (canonical limbs)
     h = m[16:19]
-    cols2 = m[:16]
-    for k in range(3):
-        cols2[k] = cols2[k] + h[k] * jnp.uint32(C_LOW)
-        cols2[k + 2] = cols2[k + 2] + h[k]
-    m2 = add_carry(cols2, 17)
-    # Fold 3: tiny top
-    limbs = _fold_small(m2[:16], m2[16])
-    return normalize(_cond_sub_p(limbs))
+    g = (
+        _fit(m[:16], 17)
+        + _fit(h * jnp.uint32(C_LOW), 17)
+        + _down(h, 2, 17)
+    )
+    g = _carry_full(g, 17)
+    return _fold_small_arr(g[:16], g[16])
+
+
+def canonicalize(x: jnp.ndarray) -> jnp.ndarray:
+    """Reduce a relaxed value (< 2^256) to canonical form (< p)."""
+    return _cond_sub_p_arr(x)
 
 
 def mulmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a*b) mod p, canonical.  Inputs any values < 2^256."""
+    """(a*b) mod p, relaxed (< 2^256).  Inputs any values < 2^256."""
     return reduce_512(mul_columns(a, b))
 
 
@@ -244,71 +315,71 @@ def _matmul_fg(u, v, q, r, f, g):
 
     f,g: int32 arrays (17, N): limbs 0..15 in [0,2^16), limb 16 signed.
     Returns new (f, g), each (u*f + v*g) >> 14 (exact division).
+
+    Array-level: the limb multiplies, the shift, and (via lane
+    concatenation) both carry chains run as whole-array ops; only the
+    17-step signed carry recurrence stays sequential.
     """
-    nf_cols = [u * f[i] + v * g[i] for i in range(17)]
-    ng_cols = [q * f[i] + r * g[i] for i in range(17)]
+    n = f.shape[1]
+    nf = u[None, :] * f + v[None, :] * g   # |.| <= 2^30 per limb
+    ng = q[None, :] * f + r[None, :] * g
+    s = jnp.concatenate([nf, ng], axis=1)  # (17, 2N): one joint chain
 
-    def carry_signed(cols):
-        out = []
-        carry = jnp.zeros_like(cols[0])
-        for i in range(17):
-            t = cols[i] + carry
-            out.append(t & jnp.int32(0xFFFF))
-            carry = t >> 16  # arithmetic shift on int32
-        # remaining carry folds into the (signed) top limb
-        out[16] = out[16] | (carry << 16)
-        return out
+    out = []
+    carry = jnp.zeros_like(s[0])
+    for i in range(17):
+        t = s[i] + carry
+        out.append(t & jnp.int32(0xFFFF))
+        carry = t >> 16  # arithmetic shift on int32
+    # remaining carry folds into the (signed) top limb
+    out[16] = out[16] | (carry << 16)
+    ls = jnp.stack(out, axis=0)
 
-    nf = carry_signed(nf_cols)
-    ng = carry_signed(ng_cols)
-
-    def shift14(ls):
-        out = []
-        for i in range(16):
-            lo = ls[i] >> DIVSTEP_W  # limbs 0..15 non-negative
-            hi = (ls[i + 1] & jnp.int32((1 << DIVSTEP_W) - 1)) << (16 - DIVSTEP_W)
-            out.append(lo | hi)
-        out.append(ls[16] >> DIVSTEP_W)  # arithmetic: keeps sign
-        return jnp.stack(out, axis=0)
-
-    return shift14(nf), shift14(ng)
+    # shift14, arrayized: rows 0..15 are non-negative (| == +), row 16
+    # uses the arithmetic shift and gets no high part.
+    up = jnp.concatenate([ls[1:], jnp.zeros_like(ls[:1])], axis=0)
+    sh = (ls >> DIVSTEP_W) + (
+        (up & jnp.int32((1 << DIVSTEP_W) - 1)) << (16 - DIVSTEP_W)
+    )
+    return sh[:, :n], sh[:, n:]
 
 
 def _matmul_de(u, v, q, r, d, e):
     """Apply the matrix to the mod-p trackers d,e (no 2^-w: deferred).
 
-    d,e: uint32 (16, N) canonical-ish (< 2^256).  Computes
+    d,e: uint32 (16, N) relaxed (< 2^256).  Computes
     (u*d + v*e) mod p and (q*d + r*e) mod p, keeping results < 2^256.
     Signedness: add 2^15*p so columns stay positive before carrying.
+    Both outputs share one joint carry chain via lane concatenation.
     """
+    n = d.shape[1]
+    di, ei = _i(d), _i(e)
+    cols_d = u[None, :] * di + v[None, :] * ei   # |.| < 2^15*p limb-wise
+    cols_e = q[None, :] * di + r[None, :] * ei
+    s = jnp.concatenate([cols_d, cols_e], axis=1)  # (16, 2N)
+    z = jnp.zeros_like(s[0:1])
+    p15 = jnp.concatenate(
+        [z + jnp.int32(int(P15_LIMBS[i])) for i in range(18)], axis=0
+    )
+    s = jnp.concatenate([s, z, z], axis=0) + p15   # (18, 2N), value >= 0
 
-    def one(m0, m1):
-        cols = [
-            m0 * _i(d[i]) + m1 * _i(e[i]) + jnp.int32(int(P15_LIMBS[i]))
-            for i in range(16)
-        ]
-        cols.append(jnp.full_like(cols[0], int(P15_LIMBS[16])))
-        cols.append(jnp.full_like(cols[0], int(P15_LIMBS[17])))
-        # carry into non-negative limbs
-        out = []
-        carry = jnp.zeros_like(cols[0])
-        for i in range(18):
-            t = cols[i] + carry
-            out.append(_u(t & jnp.int32(0xFFFF)))
-            carry = t >> 16
-        # value = sum out[i] 2^16i, < 2^16*p + 2^15*p < 2^273, carry now 0
-        # fold limbs 16,17 (H < 2^32)
-        h0, h1 = out[16], out[17]
-        cols2 = out[:16]
-        cols2[0] = cols2[0] + h0 * jnp.uint32(C_LOW)
-        cols2[2] = cols2[2] + h0
-        cols2[1] = cols2[1] + h1 * jnp.uint32(C_LOW)
-        cols2[3] = cols2[3] + h1
-        m = add_carry(cols2, 17)
-        limbs = _fold_small(m[:16], m[16])
-        return normalize(limbs)  # < 2^256 (not necessarily < p; fine)
-
-    return one(u, v), one(q, r)
+    out = []
+    carry = jnp.zeros_like(s[0])
+    for i in range(18):
+        t = s[i] + carry
+        out.append(_u(t & jnp.int32(0xFFFF)))
+        carry = t >> 16
+    # value < 2^16*p + 2^15*p < 2^273: carry now 0; fold rows 16,17
+    w = jnp.stack(out, axis=0)
+    h = w[16:18]
+    f2 = (
+        _fit(w[:16], 17)
+        + _fit(h * jnp.uint32(C_LOW), 17)
+        + _down(h, 2, 17)
+    )
+    m = _carry_full(f2, 17)
+    res = _fold_small_arr(m[:16], m[16])  # < 2^256 (not nec. < p; fine)
+    return res[:, :n], res[:, n:]
 
 
 def _divstep_rounds(f, g, d, e, delta):
@@ -373,7 +444,7 @@ def modinv(a: jnp.ndarray) -> jnp.ndarray:
 
     # f == +-1 (or p for a == 0).  inverse = sign(f) * d * 2^-742 mod p.
     neg = f[16] < 0
-    d_canon = normalize(_cond_sub_p([d[i] for i in range(16)]))
+    d_canon = _cond_sub_p_arr(d)
     d_neg = negmod(d_canon)
     res = jnp.where(neg[None, :], d_neg, d_canon)
     # Build the constant from scalar fills (not a captured array) so this
@@ -382,7 +453,9 @@ def modinv(a: jnp.ndarray) -> jnp.ndarray:
         [jnp.full_like(res[0], int(INV_SCALE_LIMBS[i])) for i in range(16)],
         axis=0,
     )
-    return mulmod(res, scale)
+    # canonical output: modinv runs on the narrow fold-tree root, so
+    # the extra conditional subtract costs nothing at herd scale
+    return canonicalize(mulmod(res, scale))
 
 
 # ----------------------------------------------------------------------
@@ -437,6 +510,4 @@ def is_zero(a: jnp.ndarray) -> jnp.ndarray:
 
 def add_u128(d: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
     """(d + e) mod 2^128 on (8, N) limb vectors (device distances)."""
-    cols = [d[i] + e[i] for i in range(8)]
-    out = add_carry(cols, 8)
-    return jnp.stack(out, axis=0)
+    return _carry_exact(d + e, 8)

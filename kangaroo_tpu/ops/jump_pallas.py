@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import NB_JUMP
 from . import field
+from . import jump_ref as jump_ref_mod
 from .jump_ref import is_dp
 
 # Lanes per kernel block.  VMEM budget: state + temporaries + DP slots
@@ -98,13 +99,9 @@ def _jump_kernel(
         qy = _gather_onehot(jmp, jy)
         qd = _gather_onehot(jmp, jd)
 
-        dx = field.submod(qx, px)
-        inv = field.batch_inv(dx, stop=min(INV_STOP, n))
-        dy = field.submod(qy, py)
-        lam = field.mulmod(dy, inv)
-        lam2 = field.sqrmod(lam)
-        x3 = field.submod(field.submod(lam2, px), qx)
-        y3 = field.submod(field.mulmod(lam, field.submod(qx, x3)), qy)
+        x3, y3 = jump_ref_mod.affine_add_walk(
+            px, py, qx, qy, inv_stop=min(INV_STOP, n)
+        )
         d = field.add_u128(d, qd)
         px, py = x3, y3
 

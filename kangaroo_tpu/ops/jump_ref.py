@@ -63,6 +63,26 @@ def select_jump(px: jnp.ndarray, jx, jy, jd):
     return qx, qy, qd
 
 
+def affine_add_walk(px, py, qx, qy, inv_stop: int):
+    """Affine add for the hot walk: canonical x3, RELAXED y3.
+
+    The walk only needs canonical x (jump selection reads its low bits,
+    the DP test its top bits, and the hash table stores it); y enters
+    future steps only through differences mod p, so any representative
+    < 2^256 yields the identical canonical-x walk.  Shared by the XLA
+    reference path and the Pallas kernel so lockstep stays bit-exact.
+    """
+    dx = field.submod(qx, px)
+    inv = field.batch_inv(dx, stop=inv_stop)
+    dy = field.submod(qy, py)
+    lam = field.mulmod(dy, inv)
+    lam2 = field.sqrmod(lam)
+    # submod output < 2^256 < 2p, so one conditional subtract suffices
+    x3 = field.canonicalize(field.submod(field.submod(lam2, px), qx))
+    y3 = field.submod(field.mulmod(lam, field.submod(qx, x3)), qy)
+    return x3, y3
+
+
 def jump_step(
     px: jnp.ndarray,
     py: jnp.ndarray,
@@ -74,7 +94,7 @@ def jump_step(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One batched kangaroo jump for every lane."""
     qx, qy, qd = select_jump(px, jx, jy, jd)
-    nx, ny = affine_add_batch(px, py, qx, qy, inv_stop=inv_stop)
+    nx, ny = affine_add_walk(px, py, qx, qy, inv_stop=inv_stop)
     nd = field.add_u128(d, qd)
     return nx, ny, nd
 

@@ -38,13 +38,19 @@ def from_dev(arr):
     return limbs_to_ints(np.asarray(arr))
 
 
+def assert_relaxed(got, want):
+    """Field ops return RELAXED values: any representative < 2^256."""
+    assert [g % P for g in got] == want
+    assert all(g < (1 << 256) for g in got)
+
+
 class TestMulMod:
     def test_random(self):
         a = rand_vals(256)
         b = rand_vals(256)
         got = from_dev(field.mulmod(to_dev(a), to_dev(b)))
         want = [(x * y) % P for x, y in zip(a, b)]
-        assert got == want
+        assert_relaxed(got, want)
 
     def test_edges(self):
         ev = edge_vals()
@@ -55,13 +61,18 @@ class TestMulMod:
                 b.append(y)
         got = from_dev(field.mulmod(to_dev(a), to_dev(b)))
         want = [(x * y) % P for x, y in zip(a, b)]
-        assert got == want
+        assert_relaxed(got, want)
 
     def test_square(self):
         a = rand_vals(256) + edge_vals()
         got = from_dev(field.sqrmod(to_dev(a)))
         want = [(x * x) % P for x in a]
-        assert got == want
+        assert_relaxed(got, want)
+
+    def test_canonicalize(self):
+        a = rand_vals(64) + [0, 1, P - 1, P, P + 1, (1 << 256) - 1]
+        got = from_dev(field.canonicalize(to_dev([x % (1 << 256) for x in a])))
+        assert got == [x % P for x in a]
 
 
 class TestAddSub:
@@ -69,25 +80,25 @@ class TestAddSub:
         a = rand_vals(128)
         b = rand_vals(128)
         got = from_dev(field.addmod(to_dev(a), to_dev(b)))
-        assert got == [(x + y) % P for x, y in zip(a, b)]
+        assert_relaxed(got, [(x + y) % P for x, y in zip(a, b)])
 
     def test_sub(self):
         a = rand_vals(128)
         b = rand_vals(128)
         got = from_dev(field.submod(to_dev(a), to_dev(b)))
-        assert got == [(x - y) % P for x, y in zip(a, b)]
+        assert_relaxed(got, [(x - y) % P for x, y in zip(a, b)])
 
     def test_sub_edges(self):
         pairs = [(0, 0), (0, P - 1), (P - 1, 0), (1, 2), (P - 1, P - 1), ((1 << 256) - 1, 5)]
         a = [x for x, _ in pairs]
         b = [y for _, y in pairs]
         got = from_dev(field.submod(to_dev(a), to_dev(b)))
-        assert got == [(x - y) % P for x, y in zip(a, b)]
+        assert_relaxed(got, [(x - y) % P for x, y in zip(a, b)])
 
     def test_neg(self):
         a = rand_vals(64) + [0, 1, P - 1]
         got = from_dev(field.negmod(to_dev(a)))
-        assert got == [(-x) % P for x in a]
+        assert_relaxed(got, [(-x) % P for x in a])
 
 
 class TestModInv:
@@ -114,16 +125,19 @@ class TestModInv:
         assert got[1] == 1 and got[3] == P - 1
 
     def test_batch_inv(self):
+        # batch_inv output is RELAXED (any representative < 2^256);
+        # compare mod p.
         a = rand_vals(2048)
         got = from_dev(field.batch_inv(to_dev(a), stop=256))
         want = [pow(x, -1, P) for x in a]
-        assert got == want
+        assert [g % P for g in got] == want
+        assert all(g < (1 << 256) for g in got)
 
     def test_batch_inv_small(self):
         a = rand_vals(8)
         got = from_dev(field.batch_inv(to_dev(a), stop=1024))
         want = [pow(x, -1, P) for x in a]
-        assert got == want
+        assert [g % P for g in got] == want
 
 
 def test_add_u128():
