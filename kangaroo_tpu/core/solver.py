@@ -129,6 +129,7 @@ class KangarooSolver:
         progress: Optional[Callable] = None,
         max_ticks: Optional[int] = None,
         dp_sink: Optional[Callable] = None,
+        save_hook: Optional[Callable] = None,
     ):
         """Solve one key.  Returns SolveResult or None (abort)."""
         from ..ops import jump_ref
@@ -282,11 +283,17 @@ class KangarooSolver:
                 progress(self, now - t0)
                 last_status = now
             if (
-                opts.work_file
+                (opts.work_file or save_hook is not None)
                 and now - last_save > opts.save_period
                 and result is None
             ):
-                self._save_work(px, py, d, now - t0)
+                if save_hook is not None:
+                    # client mode: kangaroo-only backup (local HEADK or
+                    # via the server, reference -w / -wss client paths)
+                    save_hook(self, np.asarray(px), np.asarray(py),
+                              np.asarray(d), now - t0)
+                else:
+                    self._save_work(px, py, d, now - t0)
                 last_save = now
 
         self.stats.time = self.offset_time + time.time() - t0

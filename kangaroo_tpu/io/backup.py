@@ -326,23 +326,43 @@ def load_kangaroo_file(
                 ints_to_limbs(ddev, 8),
             )
         # HEADKS: rebuild positions from D-encoded distances
-        import jax.numpy as jnp
+        d128s = [_r_int(f, 16) for _ in range(nb)]
+    return rebuild_from_d128(d128s, range_start, range_end, key_to_search)
 
-        from ..core.hashtable import calc_dist_and_type
-        from ..ops import ec
 
-        dists, types = [], []
-        for _ in range(nb):
-            d128 = _r_int(f, 16)
-            dist, ktype = calc_dist_and_type(d128)
-            dists.append(dist)
-            types.append(ktype)
+def rebuild_from_d128(
+    d128s,
+    range_start: int,
+    range_end: int,
+    key_to_search: Optional[curve.PointA],
+):
+    """D-encoded distances -> (px, py, d_dev) herd arrays.
+
+    Positions are rebuilt with the batched scalar multiply
+    (dist*G, plus keyToSearch for wild entries), like the reference's
+    compressed fetch (FetchWalks, Backup.cpp:233-289).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ..core.hashtable import calc_dist_and_type
+    from ..core.herd import device_distance
+    from ..ops import ec
+    from ..utils.intutils import ints_to_limbs
+
+    nb = len(d128s)
+    width_div2 = (range_end - range_start) >> 1
+    dists, types = [], []
+    for d128 in d128s:
+        dist, ktype = calc_dist_and_type(d128)
+        dists.append(dist)
+        types.append(ktype)
     ks = jnp.asarray(ints_to_limbs([dm % N_ORDER for dm in dists]))
     px, py, p_zero = ec.scalar_mult_base_batch(ks)
     wild = np.asarray(types, dtype=np.uint32) == WILD
     if wild.any():
         if key_to_search is None:
-            raise ValueError("HEADKS with wild kangaroos needs the key")
+            raise ValueError("compressed wild kangaroos need the key")
         from ..utils.intutils import int_to_limbs
 
         kx = jnp.asarray(

@@ -170,6 +170,36 @@ def _write_bucket(f: BinaryIO, entries: List[bytes]) -> None:
         f.write(e)
 
 
+# Size of a full HEADW header: magic+version+dp (12) + 4x32-byte values
+# (128) + count (8) + time (8).
+HEADW_HEADER_SIZE = 156
+
+
+def _native_merge(file1, file2, dest, ctx, off1=HEADW_HEADER_SIZE,
+                  off2=HEADW_HEADER_SIZE, dest_off=HEADW_HEADER_SIZE,
+                  n_buckets=HASH_SIZE):
+    """Run the C++ streamed merge; returns (n_dp, dup) or None.
+
+    Collision pairs found by the native core are resolved in Python
+    afterwards (same outcome as resolving mid-stream: the file-1 entry
+    is kept either way, matching HashTable::MergeH).
+    """
+    from .. import native as native_mod
+
+    try:
+        res = native_mod.merge_buckets(
+            file1, off1, file2, off2, dest, dest_off, n_buckets
+        )
+    except (IOError, OSError):
+        return None
+    if res is None:
+        return None
+    n_dp, dup, pairs = res
+    for d1, d2 in pairs:
+        ctx.on_collision(d1, d2)
+    return n_dp, dup
+
+
 def merge_work(
     file1: str, file2: str, dest: str = "", verbose: bool = True
 ) -> Tuple[bool, Optional[SolveResult], int]:
@@ -200,13 +230,21 @@ def merge_work(
         dup = 0
         with open(tmp, "wb") as fd:
             write_work_header(fd, hd)
-            for _ in range(HASH_SIZE):
-                merged, d = _merge_bucket(_read_bucket(f1), _read_bucket(f2), ctx)
-                dup += d
-                n_dp += len(merged)
-                _write_bucket(fd, merged)
-                if ctx.result is not None:
-                    break
+        native = _native_merge(file1, file2, tmp, ctx)
+        if native is not None:
+            n_dp, dup = native
+        with open(tmp, "r+b" if native is not None else "ab") as fd:
+            fd.seek(0, os.SEEK_END)
+            if native is None:
+                for _ in range(HASH_SIZE):
+                    merged, d = _merge_bucket(
+                        _read_bucket(f1), _read_bucket(f2), ctx
+                    )
+                    dup += d
+                    n_dp += len(merged)
+                    _write_bucket(fd, merged)
+                    if ctx.result is not None:
+                        break
             # NB: like the reference, merged files end after the hash
             # table -- no trailing kangaroo count (Merge.cpp:194-214).
     if ctx.result is not None:
@@ -326,20 +364,43 @@ def merge_work_part(
             h1.count + h2.count, h1.time + h2.time,
         )
         dup = 0
+        from .. import native as native_mod
+
+        use_native = native_mod.get_lib() is not None
+        off2 = HEADW_HEADER_SIZE
         for p in range(MERGE_PART):
-            with open(part_name(directory, p), "rb") as f1, open(
-                part_name(directory, p, tmp=True), "wb"
-            ) as fd:
-                for _ in range(H_PER_PART):
-                    merged, d = _merge_bucket(
-                        _read_bucket(f1), _read_bucket(f2), ctx
+            pname = part_name(directory, p)
+            tname = part_name(directory, p, tmp=True)
+            nat = None
+            if use_native:
+                lib = native_mod.get_lib()
+                cnt2 = lib.kt_count_buckets(
+                    work_file.encode(), off2, H_PER_PART
+                )
+                if cnt2 >= 0:
+                    open(tname, "wb").close()
+                    nat = _native_merge(
+                        pname, work_file, tname, ctx,
+                        off1=0, off2=off2, dest_off=0,
+                        n_buckets=H_PER_PART,
                     )
-                    dup += d
-                    _write_bucket(fd, merged)
+                    if nat is not None:
+                        dup += nat[1]
+                        off2 += 8 * H_PER_PART + 32 * cnt2
+            if nat is None:
+                f2.seek(off2)
+                with open(pname, "rb") as f1, open(tname, "wb") as fd:
+                    for _ in range(H_PER_PART):
+                        merged, dd = _merge_bucket(
+                            _read_bucket(f1), _read_bucket(f2), ctx
+                        )
+                        dup += dd
+                        _write_bucket(fd, merged)
+                off2 = f2.tell()
             if ctx.result is not None:
-                os.remove(part_name(directory, p, tmp=True))
+                os.remove(tname)
                 return True, ctx.result, ctx.dead + dup
-            os.replace(part_name(directory, p, tmp=True), part_name(directory, p))
+            os.replace(tname, pname)
     with open(header_path, "wb") as fh:
         write_work_header(fh, hd)
     return True, None, ctx.dead + dup
@@ -378,21 +439,38 @@ def merge_work_part_part(
 
     lock = threading.Lock()
 
+    from .. import native as native_mod
+
+    use_native = native_mod.get_lib() is not None
+
     def merge_one(p: int) -> None:
         if ctx.result is not None:
             return
         dup = 0
-        with open(part_name(dir1, p), "rb") as f1, open(
-            part_name(dir2, p), "rb"
-        ) as f2, open(part_name(dir1, p, tmp=True), "wb") as fd:
-            for _ in range(H_PER_PART):
-                merged, d = _merge_bucket(_read_bucket(f1), _read_bucket(f2), ctx)
-                dup += d
-                _write_bucket(fd, merged)
+        tname = part_name(dir1, p, tmp=True)
+        nat = None
+        if use_native:
+            open(tname, "wb").close()
+            nat = _native_merge(
+                part_name(dir1, p), part_name(dir2, p), tname, ctx,
+                off1=0, off2=0, dest_off=0, n_buckets=H_PER_PART,
+            )
+            if nat is not None:
+                dup = nat[1]
+        if nat is None:
+            with open(part_name(dir1, p), "rb") as f1, open(
+                part_name(dir2, p), "rb"
+            ) as f2, open(tname, "wb") as fd:
+                for _ in range(H_PER_PART):
+                    merged, d = _merge_bucket(
+                        _read_bucket(f1), _read_bucket(f2), ctx
+                    )
+                    dup += d
+                    _write_bucket(fd, merged)
         if ctx.result is None:
-            os.replace(part_name(dir1, p, tmp=True), part_name(dir1, p))
+            os.replace(tname, part_name(dir1, p))
         else:
-            os.remove(part_name(dir1, p, tmp=True))
+            os.remove(tname)
         with lock:
             dup_total[0] += dup
 

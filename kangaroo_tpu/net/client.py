@@ -194,6 +194,48 @@ def run_client(
     conn.set_kangaroo_number(opts.nb_kangaroo)
 
     solver = KangarooSolver(cfg, opts)
+    solver.init_search_key(0)
+
+    # -- kangaroo restore: local file (-i) or server-side backup (-wss)
+    from ..core.hashtable import convert as ht_convert
+    from ..core.herd import device_distance, true_distance
+    from ..io import backup as backup_mod
+    from ..utils.intutils import limbs_to_ints_fast
+
+    if load_file:
+        solver.loaded_kangaroos = backup_mod.load_kangaroo_file(
+            load_file, cfg.range_start, cfg.range_end, solver.key_to_search
+        )
+    elif save_kangaroo_server and opts.work_file:
+        try:
+            d128s = conn.load_kangaroos_via_server(opts.work_file)
+        except (OSError, proto.ProtocolError):
+            d128s = []
+        if d128s:
+            solver.loaded_kangaroos = backup_mod.rebuild_from_d128(
+                d128s, cfg.range_start, cfg.range_end, solver.key_to_search
+            )
+            if not quiet:
+                print(f"Restored {len(d128s)} kangaroos from server backup")
+
+    # -- periodic kangaroo backup hook (reference: -w client / -wss)
+    def save_hook(s, px, py, d, elapsed):
+        if save_kangaroo_server and opts.work_file:
+            ds = limbs_to_ints_fast(d)
+            d128s = []
+            for i in range(px.shape[1]):
+                dist = true_distance(int(ds[i]), i % 2, s.width_div2)
+                d128s.append(ht_convert(0, dist, i % 2)[2])
+            try:
+                conn.save_kangaroos_via_server(opts.work_file, d128s)
+            except (OSError, proto.ProtocolError):
+                pass
+        elif opts.work_file:
+            backup_mod.save_kangaroo_file(
+                opts.work_file, s, px, py, d, s.stats.count, elapsed
+            )
+
+    use_hook = bool(opts.work_file)
     pending: List[proto.DPRecord] = []
     last_send = [time.time()]
 
@@ -218,7 +260,10 @@ def run_client(
         return False
 
     try:
-        solver.solve(0, dp_sink=dp_sink, max_ticks=max_ticks)
+        solver.solve(
+            0, dp_sink=dp_sink, max_ticks=max_ticks,
+            save_hook=save_hook if use_hook else None,
+        )
         # flush the tail
         if pending:
             try:

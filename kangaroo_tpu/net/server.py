@@ -45,6 +45,7 @@ class DPServer:
         split_work_file: bool = False,
         out_file: str = "",
         timeout: float = 3.0,
+        validate_points: bool = False,
     ):
         self.cfg = cfg
         self.dp_size = dp_size
@@ -55,6 +56,10 @@ class DPServer:
         self.out_file = out_file
         self.timeout = timeout
         self.process_period = SEND_PERIOD  # DP drain tick
+        # re-derive every received DP before accepting it (reference:
+        # VALIDITY_POINT_CHECK, Network.cpp:547-586); rejects bad clients
+        self.validate_points = validate_points
+        self.rejected = 0
 
         self.hash_table = HashTable()
         self.lock = threading.Lock()
@@ -225,11 +230,39 @@ class DPServer:
             self.timeout,
         )
 
+    def _validate(self, records) -> list:
+        """Drop DPs whose x/bucket do not re-derive from their distance."""
+        from ..core.check import _check_batch  # host batched re-derivation
+
+        good = []
+        dists, types, xs, hs = [], [], [], []
+        for rec in records:
+            d, t = calc_dist_and_type(rec.d128)
+            dists.append(d)
+            types.append(t)
+            xs.append(rec.x128)
+            hs.append(rec.h)
+        # fast path: one batched re-derivation; only on failure narrow
+        # down record-by-record
+        if _check_batch(dists, types, xs, hs, self.key_to_search) == 0:
+            return records
+        for i, rec in enumerate(records):
+            wrong = _check_batch(
+                [dists[i]], [types[i]], [xs[i]], [hs[i]], self.key_to_search
+            )
+            if wrong:
+                self.rejected += 1
+            else:
+                good.append(rec)
+        return good
+
     # -- DP drain loop (reference: ProcessServer, Thread.cpp:165) ---------
     def _process_once(self) -> None:
         with self.lock:
             cache = self.recv_dp
             self.recv_dp = []
+        if self.validate_points and cache:
+            cache = self._validate(cache)
         for rec in cache:
             if self.end_of_search:
                 break

@@ -60,6 +60,18 @@ INV_SCALE_LIMBS = np.array(
 # 2^15 * p as 17 16-bit limbs (positivity offset in the d/e update).
 _P15 = P << 15
 P15_LIMBS = np.array([(_P15 >> (16 * i)) & 0xFFFF for i in range(18)], dtype=np.uint32)
+# Compensation for the +1-per-limb positivity nudge in _matmul_de:
+# (-sum_{i<18} 2^16i) mod p, merged into the additive constant so the
+# packed carry can run on non-negative columns.
+_OFFSET1 = ((1 << 288) - 1) // ((1 << 16) - 1)
+_CORR1 = (-_OFFSET1) % P
+DE_CONST = np.array(
+    [
+        int(P15_LIMBS[i]) + ((_CORR1 >> (16 * i)) & 0xFFFF if i < 16 else 0)
+        for i in range(18)
+    ],
+    dtype=np.int64,
+)
 
 
 def _u(x):
@@ -114,21 +126,39 @@ def _carry1(x: jnp.ndarray, rows: int) -> jnp.ndarray:
 
 
 def _carry_exact(x: jnp.ndarray, rows: int) -> jnp.ndarray:
-    """Exact carry propagation (Kogge-Stone), limbs out < 2^16.
+    """Exact carry propagation via bit-packing, limbs out < 2^16.
 
-    Contract: input limbs < 2^17 (carry digits in {0,1}) and total
-    value < 2^(16*rows) so no carry leaves the top row.
+    Contract: input limbs <= 2^17 - 2 (so carry digits are binary AND
+    no limb both generates and propagates -- every call site satisfies
+    this: sums of two 16-bit digits or one relaxed-carry pass) and
+    total value < 2^(16*rows) so no carry leaves the top row.
+
+    The generate bits g_i (limb >= 2^16) and propagate bits p_i
+    (low part == 0xFFFF) of all limbs are packed into one uint32 per
+    lane; the full carry recurrence c_{i+1} = g_i | (p_i & c_i) is then
+    resolved by a single integer addition -- injecting each generate as
+    an addend one bit up and letting the adder ripple through the
+    propagate bits -- and the per-limb carries are recovered with the
+    classic identity carries(x+y) = x ^ y ^ (x+y).  O(1) depth instead
+    of a log-depth Kogge-Stone ladder.
     """
+    assert rows <= 31
     x = _fit(x, rows)
     lo = x & _M16
-    g = x >> 16                 # generate, in {0,1}
+    g = x >> 16                     # generate, in {0,1}
     p = (lo + jnp.uint32(1)) >> 16  # propagate: 1 iff lo == 0xFFFF
-    s = 1
-    while s < rows:
-        g = g | (p & _down(g, s, rows))
-        p = p & _down(p, s, rows)
-        s <<= 1
-    cin = _down(g, 1, rows)
+    # NB bound: callers produce limbs <= 2^17 - 2 (sums of two 16-bit
+    # digits, or one relaxed-carry pass), so carry digits stay binary.
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (rows, x.shape[1]), 0)
+    # Mosaic has no unsigned reductions; the packed words fit int32
+    # (rows <= 31, distinct bits), so sum in int32 and cast back.
+    gpk = _u(jnp.sum(_i(g << iota), axis=0))
+    ppk = _u(jnp.sum(_i(p << iota), axis=0))
+    inj = gpk << 1                        # generates, injected one bit up
+    z = ppk + inj
+    # carry into limb i = injected generate | adder ripple carry
+    cin_pk = inj | (z ^ ppk ^ inj)
+    cin = (cin_pk[None, :] >> iota) & jnp.uint32(1)
     return (lo + cin) & _M16
 
 
@@ -358,19 +388,19 @@ def _matmul_de(u, v, q, r, d, e):
     cols_e = q[None, :] * di + r[None, :] * ei
     s = jnp.concatenate([cols_d, cols_e], axis=1)  # (16, 2N)
     z = jnp.zeros_like(s[0:1])
-    p15 = jnp.concatenate(
-        [z + jnp.int32(int(P15_LIMBS[i])) for i in range(18)], axis=0
+    k = jnp.concatenate(
+        [z + jnp.int32(int(DE_CONST[i])) for i in range(18)], axis=0
     )
-    s = jnp.concatenate([s, z, z], axis=0) + p15   # (18, 2N), value >= 0
+    s = jnp.concatenate([s, z, z], axis=0) + k    # (18, 2N), value >= 0
 
-    out = []
-    carry = jnp.zeros_like(s[0])
-    for i in range(18):
-        t = s[i] + carry
-        out.append(_u(t & jnp.int32(0xFFFF)))
-        carry = t >> 16
-    # value < 2^16*p + 2^15*p < 2^273: carry now 0; fold rows 16,17
-    w = jnp.stack(out, axis=0)
+    # Individual limbs may be negative (only the 2^15*p-offset TOTAL is
+    # non-negative), so: two signed relaxed passes bring limbs to
+    # [-1, 2^16], a +1 per limb (compensated inside DE_CONST) makes
+    # them non-negative, and the packed exact carry finishes.  Value
+    # < 2^274 so nothing leaves row 17.
+    s = (s & jnp.int32(0xFFFF)) + _down(s >> 16, 1, 18)
+    s = (s & jnp.int32(0xFFFF)) + _down(s >> 16, 1, 18)
+    w = _carry_exact(_u(s + jnp.int32(1)), 18)
     h = w[16:18]
     f2 = (
         _fit(w[:16], 17)

@@ -195,6 +195,13 @@ def jump_steps_with_dp(
     ]
 
     kernel = functools.partial(_jump_kernel, nb_run=nb_run)
+    kw = {}
+    if not interpret:
+        # the default Mosaic VMEM budget rejects blocks >= 8192 lanes;
+        # the working set fits comfortably under an explicit cap
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     opx, opy, od, cnt, dpx, dpd, dstep = pl.pallas_call(
         kernel,
         grid=grid,
@@ -203,6 +210,7 @@ def jump_steps_with_dp(
         out_specs=out_specs,
         input_output_aliases={4: 0, 5: 1, 6: 2},
         interpret=interpret,
+        **kw,
     )(jx, jy, jd, dp_masks[None, :], px, py, d)
 
     return (

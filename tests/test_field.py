@@ -147,3 +147,39 @@ def test_add_u128():
     bv = jnp.asarray(ints_to_limbs(b, 8))
     got = limbs_to_ints(np.asarray(field.add_u128(av, bv)))
     assert got == [(x + y) % (1 << 128) for x, y in zip(a, b)]
+
+
+class TestCarryChains:
+    """Adversarial carry-propagation patterns for the packed-carry
+    resolver (long 0xFFFF propagate runs, generate-into-run boundaries).
+    """
+
+    def _specials(self, n=48):
+        r = random.Random(0xFEED)
+        out = []
+        for _ in range(n):
+            v = 0
+            for i in range(16):
+                v |= r.choice(
+                    [0xFFFF, 0xFFFE, 0, 1, r.randrange(1 << 16)]
+                ) << (16 * i)
+            out.append(v % (1 << 256))
+        return out
+
+    def test_mul_propagate_runs(self):
+        a = self._specials()
+        b = self._specials()[::-1]
+        got = from_dev(field.mulmod(to_dev(a), to_dev(b)))
+        assert_relaxed(got, [(x * y) % P for x, y in zip(a, b)])
+
+    def test_add_full_ripple(self):
+        a = [(1 << 256) - 1, (1 << 256) - 2, P - 1, (1 << 256) - 977]
+        b = [1, 1, 1, 976]
+        got = from_dev(field.addmod(to_dev(a), to_dev(b)))
+        assert_relaxed(got, [(x + y) % P for x, y in zip(a, b)])
+
+    def test_sub_borrow_ripple(self):
+        a = [0, 1, 0x10000]
+        b = [(1 << 256) - 1, (1 << 256) - 1, 1]
+        got = from_dev(field.submod(to_dev(a), to_dev(b)))
+        assert_relaxed(got, [(x - y) % P for x, y in zip(a, b)])

@@ -101,3 +101,61 @@ def test_server_side_kangaroo_backup(tmp_path, monkeypatch):
     conn.close()
     srv.end_of_search = True
     t.join(timeout=10)
+
+
+def test_server_point_validation():
+    """validate_points drops forged DPs (VALIDITY_POINT_CHECK analog)."""
+    from kangaroo_tpu.core.hashtable import convert
+    from kangaroo_tpu.core import curve as curve_mod
+
+    srv, _ = make_server(0x99, 18)
+    srv.validate_points = True
+    # one genuine tame DP, one forged
+    dist = 0x1234
+    pt = curve_mod.mul(dist)
+    h, x128, d128 = convert(pt.x, dist, 0)
+    srv.recv_dp = [
+        proto.DPRecord(0, h, x128, d128),
+        proto.DPRecord(1, h, x128 ^ 0x5555, d128),  # wrong x for the dist
+    ]
+    srv._process_once()
+    assert srv.hash_table.n_items() == 1
+    assert srv.rejected == 1
+
+
+def test_client_server_kangaroo_backup_flow(tmp_path, monkeypatch):
+    """-wss flow: client ships kangaroo backups during the solve and can
+    restore from them on reconnect."""
+    monkeypatch.chdir(tmp_path)
+    srv, k = make_server(0x5BE, 16, dp=1)
+    t = threading.Thread(
+        target=srv.run, kwargs={"max_seconds": 120, "quiet": True}, daemon=True
+    )
+    t.start()
+    time.sleep(0.8)
+
+    from kangaroo_tpu.core.solver import SolverOptions
+
+    opts = SolverOptions(
+        nb_kangaroo=64, nb_run=8, seed=5,
+        work_file="kang.srv", save_period=1,
+    )
+    run_client(
+        "127.0.0.1", srv.port, opts,
+        timeout=5.0, max_ticks=4000, quiet=True, send_period=0.2,
+        save_kangaroo_server=True,
+    )
+    t.join(timeout=30)
+    assert srv.result is not None and srv.result.private_key == k
+    # at least one backup should have landed server-side (solve takes
+    # longer than the 1 s save period)
+    import os
+
+    if os.path.exists("kang.srv"):
+        from kangaroo_tpu.io.backup import load_kangaroo_file
+
+        cfg = srv.cfg
+        px, py, d = load_kangaroo_file(
+            "kang.srv", cfg.range_start, cfg.range_end, srv.key_to_search
+        )
+        assert px.shape == (16, 64)
