@@ -29,6 +29,8 @@ def print_usage() -> None:
  -nk n: Number of kangaroos (herd lanes on device), default 2^18
  -nbrun n: Jumps per device tick, default 64
  -backend xla|pallas: Jump kernel backend (default pallas on TPU)
+ -sym: Equivalence-class walk over {P,-P} (~sqrt(2) speedup; work files
+       are NOT compatible with non-symmetric runs)
  -devices n: Number of mesh devices to use (default all)
  -w workfile: Specify file to save work into (current processed key only)
  -i workfile: Specify file to load work from (current processed key only)
@@ -79,6 +81,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
 
     dp = -1
+    symmetry = False
     nk = 1 << 18
     nb_run = 64
     backend = ""
@@ -111,6 +114,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             i += 1; nb_run = int(_arg(argv, i, a))
         elif a == "-backend":
             i += 1; backend = _arg(argv, i, a)
+        elif a == "-sym":
+            symmetry = True
         elif a == "-devices":
             i += 1; n_devices = int(_arg(argv, i, a))
         elif a == "-w":
@@ -227,6 +232,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         save_period=save_period,
         save_kangaroo=save_kangaroo,
         split_work_file=wsplit,
+        symmetry=symmetry,
     )
 
     if server_ip:

@@ -30,19 +30,26 @@ def check_key(
     key_to_search: curve.PointA,
     key_to_search_neg: curve.PointA,
     range_start: int,
+    width_div2_sym: Optional[int] = None,
 ) -> Optional[SolveResult]:
-    """Try one sign variant (reference: CheckKey, Kangaroo.cpp:218-253)."""
+    """Try one sign variant (reference: CheckKey, Kangaroo.cpp:218-253).
+
+    In symmetry mode the key was translated by rangeStart + width/2, so
+    the recovered distance shifts back by the extra width/2
+    (Kangaroo.cpp:234-247).
+    """
     if variant & 0x1:
         d1 = (-d1) % N_ORDER
     if variant & 0x2:
         d2 = (-d2) % N_ORDER
+    shift = range_start + (width_div2_sym or 0)
     pk = (d1 + d2) % N_ORDER
     pt = curve.mul(pk)
     if pt == key_to_search:
-        return SolveResult((pk + range_start) % N_ORDER, "N", variant)
+        return SolveResult((pk + shift) % N_ORDER, "N", variant)
     if pt == key_to_search_neg:
         pk = (-pk) % N_ORDER
-        return SolveResult((pk + range_start) % N_ORDER, "S", variant)
+        return SolveResult((pk + shift) % N_ORDER, "S", variant)
     return None
 
 
@@ -54,6 +61,7 @@ def collision_check(
     key_to_search: curve.PointA,
     key_to_search_neg: curve.PointA,
     range_start: int,
+    width_div2_sym: Optional[int] = None,
 ) -> Tuple[bool, Optional[SolveResult]]:
     """Resolve a hash-table collision.
 
@@ -71,7 +79,8 @@ def collision_check(
 
     for variant in range(4):
         res = check_key(
-            td, wd, variant, key_to_search, key_to_search_neg, range_start
+            td, wd, variant, key_to_search, key_to_search_neg, range_start,
+            width_div2_sym=width_div2_sym,
         )
         if res is not None:
             return False, res

@@ -43,31 +43,60 @@ class HerdState:
 
 def draw_start_distances(
     nb: int, range_power: int, width_div2: int, first_type: int = TAME,
-    rng: Optional[rng_mod.MT19937] = None,
+    rng: Optional[rng_mod.MT19937] = None, symmetry: bool = False,
 ) -> List[int]:
-    """Mod-n start distances drawn exactly like CreateHerd."""
+    """Mod-n start distances drawn exactly like CreateHerd.
+
+    Symmetry mode (Kangaroo.cpp:686-693): tame in [0, N/2), wild
+    centered on the translated key: rand(N/2) - N/4.
+    """
     rnd = rng.rand_int if rng is not None else rng_mod.rand_int
     out = []
     for j in range(nb):
-        d = rnd(range_power)
-        if (j + first_type) % 2 == WILD:
-            d = (d - width_div2) % N_ORDER
+        if symmetry:
+            d = rnd(range_power - 1)
+            if (j + first_type) % 2 == WILD:
+                d = (d - (width_div2 >> 1)) % N_ORDER
+        else:
+            d = rnd(range_power)
+            if (j + first_type) % 2 == WILD:
+                d = (d - width_div2) % N_ORDER
         out.append(d)
     return out
 
 
-def device_distance(d_modn: int, ktype: int, width_div2: int) -> int:
-    """Mod-n distance -> on-device 128-bit offset distance."""
+_M128 = (1 << 128) - 1
+
+
+def device_distance(d_modn: int, ktype: int, width_div2: int,
+                    symmetry: bool = False) -> int:
+    """Mod-n distance -> on-device 128-bit distance.
+
+    Plain mode: wild lanes offset by +W/2 so values stay non-negative
+    (the reference GPU convention, GPUEngine.cu:381-433).  Symmetry
+    mode: signed two's-complement 128-bit of the centered value (the
+    walk flips distance signs, so both herds go negative).
+    """
+    if symmetry:
+        v = d_modn % N_ORDER
+        if v > N_ORDER >> 1:
+            v -= N_ORDER
+        return v & _M128
     if ktype == WILD:
         v = (d_modn + width_div2) % N_ORDER
     else:
         v = d_modn
     # Values beyond 2^127 mean corrupt state for in-range problems.
-    return v & ((1 << 128) - 1)
+    return v & _M128
 
 
-def true_distance(d_dev: int, ktype: int, width_div2: int) -> int:
-    """On-device offset distance -> mod-n distance."""
+def true_distance(d_dev: int, ktype: int, width_div2: int,
+                  symmetry: bool = False) -> int:
+    """On-device distance -> mod-n distance."""
+    if symmetry:
+        if d_dev >> 127:
+            d_dev -= 1 << 128
+        return d_dev % N_ORDER
     if ktype == WILD:
         return (d_dev - width_div2) % N_ORDER
     return d_dev % N_ORDER
@@ -80,16 +109,23 @@ def create_herd(
     key_point: Optional[curve.PointA],
     first_type: int = TAME,
     rng: Optional[rng_mod.MT19937] = None,
+    symmetry: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Create starting state arrays (px, py, d_device) for nb kangaroos.
 
     key_point is the translated search key (keyToSearch); may be None
     when only tame kangaroos are created.  Uses the batched fixed-window
-    scalar multiply on device for the start positions.
+    scalar multiply on device for the start positions.  Symmetry mode
+    additionally normalizes each start into its equivalence class
+    (y <= p/2, negating the distance on flip -- Kangaroo.cpp:730-734);
+    the returned distances are signed two's-complement (see
+    device_distance) and symClass starts at 0 by the normalization.
     """
     from ..ops import ec  # deferred: jax import cost
 
-    d_modn = draw_start_distances(nb, range_power, width_div2, first_type, rng)
+    d_modn = draw_start_distances(
+        nb, range_power, width_div2, first_type, rng, symmetry=symmetry
+    )
     ks = jnp.asarray(ints_to_limbs(d_modn))
     sx, sy, s_zero = ec.scalar_mult_base_batch(ks)
 
@@ -119,13 +155,28 @@ def create_herd(
     else:
         px, py = sx, sy
 
+    px_np, py_np = np.asarray(px), np.array(py)  # py: writable copy
+    if symmetry:
+        # normalize starts into the y <= p/2 equivalence class
+        from ..constants import P
+        from ..utils.intutils import limbs_to_ints_fast
+
+        ys = limbs_to_ints_fast(py_np)
+        d_modn = list(d_modn)
+        for i in range(nb):
+            y = int(ys[i])
+            if y > P >> 1:
+                py_np[:, i] = int_to_limbs(P - y)
+                d_modn[i] = (-d_modn[i]) % N_ORDER
+
     d_dev = np.stack(
         [
             int_to_limbs(
-                device_distance(dm, int(t), width_div2), NB_LIMB_D
+                device_distance(dm, int(t), width_div2, symmetry=symmetry),
+                NB_LIMB_D,
             )
             for dm, t in zip(d_modn, types)
         ],
         axis=1,
     )
-    return np.asarray(px), np.asarray(py), d_dev
+    return px_np, py_np, d_dev

@@ -52,13 +52,54 @@ class JumpTable:
         return jx, jy, jd
 
 
-def create_jump_table(range_power: int) -> JumpTable:
-    """Reference semantics (Kangaroo.cpp:742-832, no-symmetry path)."""
-    jump_bit = range_power // 2 + 1
+def _is_probable_prime(n: int) -> bool:
+    """Deterministic Miller-Rabin for the < 2^64 values used here."""
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, s = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _next_odd_prime(start: int) -> int:
+    v = start
+    while not _is_probable_prime(v):
+        v += 2
+    return v
+
+
+def create_jump_table(range_power: int, symmetry: bool = False) -> JumpTable:
+    """Reference semantics (Kangaroo.cpp:742-832).
+
+    Symmetry mode halves the jump-bit budget and scales the two table
+    halves by consecutive primes u, v ~ 2^(jumpBit/2) so the two
+    symmetry classes walk incommensurate step lattices
+    (Kangaroo.cpp:763-807).
+    """
+    jump_bit = range_power // 2 if symmetry else range_power // 2 + 1
     if jump_bit > 128:
         jump_bit = 128
     max_avg = 2.0 ** (float(jump_bit) - 0.95)
     min_avg = 2.0 ** (float(jump_bit) - 1.05)
+
+    if symmetry:
+        u = _next_odd_prime((1 << (jump_bit // 2)) + 1)
+        v = _next_odd_prime(u + 2)
 
     rng = MT19937(JUMP_TABLE_SEED)
     max_retry = 100
@@ -68,12 +109,21 @@ def create_jump_table(range_power: int) -> JumpTable:
     while not ok and max_retry > 0:
         dists = []
         total = 0
-        for _ in range(NB_JUMP):
-            d = rng.rand_int(jump_bit)
-            if d == 0:
-                d = 1
-            dists.append(d)
-            total += d
+        if symmetry:
+            for i in range(NB_JUMP):
+                d = rng.rand_int(jump_bit // 2)
+                d *= u if i < NB_JUMP // 2 else v
+                if d == 0:
+                    d = 1
+                dists.append(d)
+                total += d
+        else:
+            for _ in range(NB_JUMP):
+                d = rng.rand_int(jump_bit)
+                if d == 0:
+                    d = 1
+                dists.append(d)
+                total += d
         dist_avg = int_to_double_words(total) / float(NB_JUMP)
         ok = min_avg < dist_avg < max_avg
         max_retry -= 1

@@ -48,6 +48,9 @@ class SolverOptions:
     save_period: int = 60
     save_kangaroo: bool = False
     split_work_file: bool = False
+    # Equivalence-class walk over {P, -P}: ~sqrt(2) fewer expected ops
+    # (reference USE_SYMMETRY, off by default -- Constants.h:24-25)
+    symmetry: bool = False
 
 
 @dataclass
@@ -83,10 +86,16 @@ class KangarooSolver:
         self.width_div2 = self.range_width >> 1
 
     def init_search_key(self, key_idx: int):
-        """Translate the key by rangeStart (reference: Kangaroo.cpp:892-909)."""
+        """Translate the key by rangeStart (reference: Kangaroo.cpp:892-909).
+
+        Symmetry mode recenters on the middle of the range
+        (+rangeWidth/2) so wild distances straddle zero.
+        """
         self.key_idx = key_idx
         key = self.cfg.keys[key_idx]
         sp = self.range_start % N_ORDER
+        if self.opts.symmetry:
+            sp = (sp + self.width_div2) % N_ORDER
         if sp != 0:
             rs = curve.mul(sp).neg()
             self.key_to_search = curve.add(key, rs)
@@ -99,7 +108,8 @@ class KangarooSolver:
         k = float(nb_kangaroo or self.opts.nb_kangaroo)
         n = 2.0 ** self.range_power
         theta = 2.0 ** dp
-        z0 = (2.0 * (2.0 - math.sqrt(2.0))) * math.sqrt(math.pi)
+        gain_s = 1.0 / math.sqrt(2.0) if self.opts.symmetry else 1.0
+        z0 = (2.0 * (2.0 - math.sqrt(2.0)) * gain_s) * math.sqrt(math.pi)
         avg_dp0 = z0 * math.sqrt(n)
         op = z0 * (n * (k * theta + math.sqrt(n))) ** (1.0 / 3.0)
         # RAM model with the reference's C struct sizes (bytes):
@@ -138,7 +148,7 @@ class KangarooSolver:
         opts = self.opts
         self.init_search_key(key_idx)
 
-        jt = create_jump_table(self.range_power)
+        jt = create_jump_table(self.range_power, symmetry=opts.symmetry)
         jx_np, jy_np, jd_np = jt.as_arrays()
         jx, jy, jd = jnp.asarray(jx_np), jnp.asarray(jy_np), jnp.asarray(jd_np)
 
@@ -166,8 +176,10 @@ class KangarooSolver:
                 self.key_to_search,
                 TAME,
                 rng,
+                symmetry=opts.symmetry,
             )
             px, py, d = jnp.asarray(px_np), jnp.asarray(py_np), jnp.asarray(d_np)
+        symclass = jnp.zeros((opts.nb_kangaroo,), dtype=jnp.uint32)
 
         self.hash_table.reset()
         self.stats.count = self.offset_count
@@ -189,16 +201,18 @@ class KangarooSolver:
 
             block = min(jump_pallas.DEFAULT_BLOCK, n)
 
-            def tick_fn(px, py, d):
+            def tick_fn(px, py, d, sc):
                 return jump_pallas.jump_steps_with_dp(
                     px, py, d, jx, jy, jd, dp_masks,
                     nb_run=opts.nb_run, block=block,
+                    symmetry=opts.symmetry, symclass=sc,
                 )
         else:
-            def tick_fn(px, py, d):
+            def tick_fn(px, py, d, sc):
                 return jump_ref.jump_steps_with_dp(
                     px, py, d, jx, jy, jd, dp_masks,
                     nb_run=opts.nb_run, inv_stop=inv_stop,
+                    symmetry=opts.symmetry, symclass=sc,
                 )
 
         while result is None:
@@ -210,7 +224,10 @@ class KangarooSolver:
                 > opts.max_step * self.stats.expected_ops
             ):
                 break
-            px, py, d, count, dpx, dpd, dp_step = tick_fn(px, py, d)
+            out = tick_fn(px, py, d, symclass)
+            px, py, d, count, dpx, dpd, dp_step = out[:7]
+            if opts.symmetry:
+                symclass = out[7]
             self.stats.count += n * opts.nb_run
             tick += 1
 
@@ -240,7 +257,8 @@ class KangarooSolver:
                         ddev = limbs_to_int(dpd_np[slot, :, lane])
                         ktype = lane % 2
                         d_modn = herd_mod.true_distance(
-                            ddev, ktype, self.width_div2
+                            ddev, ktype, self.width_div2,
+                            symmetry=opts.symmetry,
                         )
                         batch.append((x, d_modn, ktype, lane))
                     if dp_sink(batch):
@@ -254,7 +272,9 @@ class KangarooSolver:
                     x = limbs_to_int(dpx_np[slot, :, lane])
                     ddev = limbs_to_int(dpd_np[slot, :, lane])
                     ktype = lane % 2
-                    d_modn = herd_mod.true_distance(ddev, ktype, self.width_div2)
+                    d_modn = herd_mod.true_distance(
+                        ddev, ktype, self.width_div2, symmetry=opts.symmetry
+                    )
                     status = self.hash_table.add_dp(x, d_modn, ktype)
                     if status == ADD_COLLISION:
                         dead, res = collision_check(
@@ -265,6 +285,9 @@ class KangarooSolver:
                             self.key_to_search,
                             self.key_to_search_neg,
                             self.range_start,
+                            width_div2_sym=(
+                                self.width_div2 if opts.symmetry else None
+                            ),
                         )
                         if res is not None:
                             result = res
@@ -277,6 +300,12 @@ class KangarooSolver:
                         resets.append((lane, ktype))
                 if resets:
                     px, py, d = self._reset_lanes(px, py, d, resets, rng)
+                    if opts.symmetry:
+                        # fresh kangaroos start in symmetry class 0
+                        lanes = jnp.asarray(
+                            np.array([l for l, _ in resets], dtype=np.int32)
+                        )
+                        symclass = symclass.at[lanes].set(jnp.uint32(0))
 
             now = time.time()
             if progress is not None and now - last_status > 2.0:
@@ -307,7 +336,7 @@ class KangarooSolver:
         for lane, ktype in resets:
             npx, npy, nd = herd_mod.create_herd(
                 1, self.range_power, self.width_div2, self.key_to_search,
-                ktype, rng,
+                ktype, rng, symmetry=self.opts.symmetry,
             )
             px = px.at[:, lane].set(jnp.asarray(npx[:, 0]))
             py = py.at[:, lane].set(jnp.asarray(npy[:, 0]))

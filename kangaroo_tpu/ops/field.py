@@ -541,3 +541,42 @@ def is_zero(a: jnp.ndarray) -> jnp.ndarray:
 def add_u128(d: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
     """(d + e) mod 2^128 on (8, N) limb vectors (device distances)."""
     return _carry_exact(d + e, 8)
+
+
+def neg_u128(d: jnp.ndarray) -> jnp.ndarray:
+    """Two's-complement negate mod 2^128 (symmetry-mode distances)."""
+    inv = (_M16 ^ d)
+    one = jnp.concatenate(
+        [jnp.zeros_like(d[0:1]) + jnp.uint32(1)] + [jnp.zeros_like(d[0:1])] * 7,
+        axis=0,
+    )
+    return _carry_exact(inv + one, 8)
+
+
+# (p-1)/2 as limbs: y is in the "high" symmetry class iff y > (p-1)/2,
+# tested via carry-out of y + (2^256 - (p+1)/2).
+_HALF_TEST = (1 << 256) - ((P + 1) >> 1)
+HALF_TEST_LIMBS = np.array(
+    [(_HALF_TEST >> (16 * i)) & 0xFFFF for i in range(16)], dtype=np.uint32
+)
+
+
+def y_is_high(y: jnp.ndarray) -> jnp.ndarray:
+    """(N,) uint32 1 where canonical y > p/2 (needs symmetry flip).
+
+    Mirrors Int::ModPositiveK1 (IntMod.cpp:1270-1282): the canonical
+    representative of {P, -P} keeps the smaller y.
+    """
+    s = _carry_exact(
+        _fit(y, 17) + _fit(_const_cols(HALF_TEST_LIMBS, y), 17), 17
+    )
+    return s[16]
+
+
+def neg_y(y: jnp.ndarray) -> jnp.ndarray:
+    """p - y for canonical y (0 < y < p), canonical result."""
+    # p + (~y) + 1 over 16 limbs; the 2^256 carry is implicit (y <= p)
+    t = _const_cols(P_LIMBS, y) + (_M16 ^ y) + _one_row0(y)
+    t = _carry1(t, 17)
+    t = _carry_exact(t, 17)
+    return t[:16]  # row 16 is the dropped 2^256 borrow-guard

@@ -73,14 +73,15 @@ def _gather_onehot(jmp: jnp.ndarray, tbl: jnp.ndarray) -> jnp.ndarray:
 
 def _jump_kernel(
     jx_ref, jy_ref, jd_ref, mask_ref,
-    px_ref, py_ref, d_ref,
-    opx_ref, opy_ref, od_ref,
+    px_ref, py_ref, d_ref, sc_ref,
+    opx_ref, opy_ref, od_ref, osc_ref,
     cnt_ref, dpx_ref, dpd_ref, step_ref,
-    *, nb_run: int,
+    *, nb_run: int, symmetry: bool,
 ):
     px = px_ref[:, :]
     py = py_ref[:, :]
     d = d_ref[:, :]
+    sc = sc_ref[0, :]
     jx = jx_ref[:, :]
     jy = jy_ref[:, :]
     jd = jd_ref[:, :]
@@ -93,8 +94,13 @@ def _jump_kernel(
     dstep = jnp.zeros((2, n), dtype=jnp.uint32)
 
     def body(i, state):
-        px, py, d, count, dpx, dpd, dstep = state
-        jmp = px[0] & jnp.uint32(NB_JUMP - 1)
+        px, py, d, sc, count, dpx, dpd, dstep = state
+        if symmetry:
+            jmp = (px[0] & jnp.uint32(NB_JUMP // 2 - 1)) + (
+                sc * jnp.uint32(NB_JUMP // 2)
+            )
+        else:
+            jmp = px[0] & jnp.uint32(NB_JUMP - 1)
         qx = _gather_onehot(jmp, jx)
         qy = _gather_onehot(jmp, jy)
         qd = _gather_onehot(jmp, jd)
@@ -104,6 +110,14 @@ def _jump_kernel(
         )
         d = field.add_u128(d, qd)
         px, py = x3, y3
+        if symmetry:
+            # equivalence-class normalization (Kangaroo.cpp:422-428)
+            pyc = field.canonicalize(py)
+            high = field.y_is_high(pyc)
+            sel = (high == 1)[None, :]
+            py = jnp.where(sel, field.neg_y(pyc), pyc)
+            d = jnp.where(sel, field.neg_u128(d), d)
+            sc = sc ^ high
 
         hit = is_dp(px, masks)
         slot0 = hit & (count == 0)
@@ -132,15 +146,16 @@ def _jump_kernel(
             axis=0,
         )
         count = count + hit.astype(jnp.uint32)
-        return px, py, d, count, dpx, dpd, dstep
+        return px, py, d, sc, count, dpx, dpd, dstep
 
-    px, py, d, count, dpx, dpd, dstep = jax.lax.fori_loop(
-        0, nb_run, body, (px, py, d, count, dpx, dpd, dstep)
+    px, py, d, sc, count, dpx, dpd, dstep = jax.lax.fori_loop(
+        0, nb_run, body, (px, py, d, sc, count, dpx, dpd, dstep)
     )
 
     opx_ref[:, :] = px
     opy_ref[:, :] = py
     od_ref[:, :] = d
+    osc_ref[:, :] = sc[None, :]
     cnt_ref[:, :] = count[None, :]
     dpx_ref[:, :] = dpx
     dpd_ref[:, :] = dpd
@@ -148,18 +163,21 @@ def _jump_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb_run", "block", "interpret")
+    jax.jit, static_argnames=("nb_run", "block", "interpret", "symmetry")
 )
 def jump_steps_with_dp(
     px, py, d, jx, jy, jd, dp_masks,
     nb_run: int = 64, block: int = DEFAULT_BLOCK, interpret: bool = False,
+    symmetry: bool = False, symclass=None,
 ):
     """Pallas backend with the same contract as jump_ref.jump_steps_with_dp.
 
-    Returns (px, py, d, dp_count, dpx, dpd, dp_step); dpx has shape
-    (2, 16, N), dpd (2, 8, N), dp_step (2, N), dp_count (N,).
+    Returns (px, py, d, dp_count, dpx, dpd, dp_step[, symclass]); dpx
+    has shape (2, 16, N), dpd (2, 8, N), dp_step (2, N), dp_count (N,).
     """
     n = px.shape[1]
+    if symclass is None:
+        symclass = jnp.zeros((n,), dtype=jnp.uint32)
     blk = min(block, n)
     assert n % blk == 0, "herd size must be a multiple of the block size"
     grid = (n // blk,)
@@ -175,6 +193,7 @@ def jump_steps_with_dp(
         jax.ShapeDtypeStruct((16, n), jnp.uint32),   # px
         jax.ShapeDtypeStruct((16, n), jnp.uint32),   # py
         jax.ShapeDtypeStruct((8, n), jnp.uint32),    # d
+        jax.ShapeDtypeStruct((1, n), jnp.uint32),    # symclass
         jax.ShapeDtypeStruct((1, n), jnp.uint32),    # count
         jax.ShapeDtypeStruct((32, n), jnp.uint32),   # dpx slots
         jax.ShapeDtypeStruct((16, n), jnp.uint32),   # dpd slots
@@ -182,7 +201,7 @@ def jump_steps_with_dp(
     )
     out_specs = (
         state_spec(16), state_spec(16), state_spec(8), state_spec(1),
-        state_spec(32), state_spec(16), state_spec(2),
+        state_spec(1), state_spec(32), state_spec(16), state_spec(2),
     )
     in_specs = [
         full_spec((16, NB_JUMP)),   # jx
@@ -192,9 +211,10 @@ def jump_steps_with_dp(
         state_spec(16),             # px
         state_spec(16),             # py
         state_spec(8),              # d
+        state_spec(1),              # symclass
     ]
 
-    kernel = functools.partial(_jump_kernel, nb_run=nb_run)
+    kernel = functools.partial(_jump_kernel, nb_run=nb_run, symmetry=symmetry)
     kw = {}
     if not interpret:
         # the default Mosaic VMEM budget rejects blocks >= 8192 lanes;
@@ -202,21 +222,24 @@ def jump_steps_with_dp(
         kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
-    opx, opy, od, cnt, dpx, dpd, dstep = pl.pallas_call(
+    opx, opy, od, osc, cnt, dpx, dpd, dstep = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=out_shapes,
         in_specs=in_specs,
         out_specs=out_specs,
-        input_output_aliases={4: 0, 5: 1, 6: 2},
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
         interpret=interpret,
         **kw,
-    )(jx, jy, jd, dp_masks[None, :], px, py, d)
+    )(jx, jy, jd, dp_masks[None, :], px, py, d, symclass[None, :])
 
-    return (
+    out = (
         opx, opy, od,
         cnt[0],
         dpx.reshape(2, 16, n),
         dpd.reshape(2, 8, n),
         dstep,
     )
+    if symmetry:
+        return out + (osc[0],)
+    return out

@@ -50,13 +50,19 @@ def is_dp(px: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def select_jump(px: jnp.ndarray, jx, jy, jd):
+def select_jump(px: jnp.ndarray, jx, jy, jd, symclass=None):
     """Gather per-lane jump point/distance by x mod NB_JUMP.
 
     NB_JUMP == 32 is a power of two, so bits64[0] %% 32 is the low five
-    bits of limb 0.
+    bits of limb 0.  Symmetry mode indexes a half-table per symmetry
+    class: jmp = x mod 16 + 16*symClass (Kangaroo.cpp:381-399).
     """
-    jmp = px[0] & jnp.uint32(NB_JUMP - 1)
+    if symclass is None:
+        jmp = px[0] & jnp.uint32(NB_JUMP - 1)
+    else:
+        jmp = (px[0] & jnp.uint32(NB_JUMP // 2 - 1)) + (
+            symclass * jnp.uint32(NB_JUMP // 2)
+        )
     qx = jnp.take(jx, jmp, axis=1)
     qy = jnp.take(jy, jmp, axis=1)
     qd = jnp.take(jd, jmp, axis=1)
@@ -91,36 +97,59 @@ def jump_step(
     jy: jnp.ndarray,
     jd: jnp.ndarray,
     inv_stop: int = 1024,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One batched kangaroo jump for every lane."""
-    qx, qy, qd = select_jump(px, jx, jy, jd)
+    symclass=None,
+):
+    """One batched kangaroo jump for every lane.
+
+    With symclass (symmetry mode) the step additionally normalizes the
+    result into its equivalence class: y kept canonical <= p/2; on flip
+    the (two's-complement 128-bit) distance negates and the symmetry
+    class toggles (Kangaroo.cpp:422-428).
+    """
+    qx, qy, qd = select_jump(px, jx, jy, jd, symclass)
     nx, ny = affine_add_walk(px, py, qx, qy, inv_stop=inv_stop)
     nd = field.add_u128(d, qd)
-    return nx, ny, nd
+    if symclass is None:
+        return nx, ny, nd
+    nyc = field.canonicalize(ny)
+    high = field.y_is_high(nyc)
+    sel = (high == 1)[None, :]
+    ny = jnp.where(sel, field.neg_y(nyc), nyc)
+    nd = jnp.where(sel, field.neg_u128(nd), nd)
+    symclass = symclass ^ high
+    return nx, ny, nd, symclass
 
 
-@partial(jax.jit, static_argnames=("nb_run", "inv_stop"))
+@partial(jax.jit, static_argnames=("nb_run", "inv_stop", "symmetry"))
 def jump_steps_with_dp(
-    px, py, d, jx, jy, jd, dp_masks, nb_run: int = 16, inv_stop: int = 1024
+    px, py, d, jx, jy, jd, dp_masks, nb_run: int = 16, inv_stop: int = 1024,
+    symmetry: bool = False, symclass=None,
 ):
     """nb_run jumps; record up to 2 DP hits per lane (slot capture).
 
-    Returns (px, py, d, dp_count, dpx, dpd, dp_step) where dpx/dpd hold
-    the x / device-distance limbs at DP time for the first two hits per
-    lane and dp_step the step index of each hit.  Losing a third hit in
-    one launch window is ~C(nb_run,3)/2^(3 dp): negligible, and the same
-    class of loss exists in the reference's bounded GPU output buffer
-    (GPUEngine.cu:641-648).
+    Returns (px, py, d, dp_count, dpx, dpd, dp_step[, symclass]) where
+    dpx/dpd hold the x / device-distance limbs at DP time for the first
+    two hits per lane and dp_step the step index of each hit.  Losing a
+    third hit in one launch window is ~C(nb_run,3)/2^(3 dp): negligible,
+    and the same class of loss exists in the reference's bounded GPU
+    output buffer (GPUEngine.cu:641-648).
     """
     n = px.shape[1]
     dpx = jnp.zeros((2, 16, n), dtype=jnp.uint32)
     dpd = jnp.zeros((2, 8, n), dtype=jnp.uint32)
     dp_step = jnp.zeros((2, n), dtype=jnp.uint32)
     count = jnp.zeros((n,), dtype=jnp.uint32)
+    if symmetry and symclass is None:
+        symclass = jnp.zeros((n,), dtype=jnp.uint32)
 
     def body(i, state):
-        px, py, d, count, dpx, dpd, dp_step = state
-        px, py, d = jump_step(px, py, d, jx, jy, jd, inv_stop=inv_stop)
+        px, py, d, count, dpx, dpd, dp_step, sc = state
+        if symmetry:
+            px, py, d, sc = jump_step(
+                px, py, d, jx, jy, jd, inv_stop=inv_stop, symclass=sc
+            )
+        else:
+            px, py, d = jump_step(px, py, d, jx, jy, jd, inv_stop=inv_stop)
         hit = is_dp(px, dp_masks)
         slot0 = hit & (count == 0)
         slot1 = hit & (count == 1)
@@ -135,9 +164,12 @@ def jump_steps_with_dp(
             jnp.where(slot1, jnp.uint32(i), dp_step[1])
         )
         count = count + hit.astype(jnp.uint32)
-        return px, py, d, count, dpx, dpd, dp_step
+        return px, py, d, count, dpx, dpd, dp_step, sc
 
-    px, py, d, count, dpx, dpd, dp_step = jax.lax.fori_loop(
-        0, nb_run, body, (px, py, d, count, dpx, dpd, dp_step)
+    init_sc = symclass if symmetry else jnp.zeros((n,), dtype=jnp.uint32)
+    px, py, d, count, dpx, dpd, dp_step, sc = jax.lax.fori_loop(
+        0, nb_run, body, (px, py, d, count, dpx, dpd, dp_step, init_sc)
     )
+    if symmetry:
+        return px, py, d, count, dpx, dpd, dp_step, sc
     return px, py, d, count, dpx, dpd, dp_step

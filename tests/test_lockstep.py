@@ -51,3 +51,39 @@ def test_pallas_matches_xla(range_power):
         )
     # sanity: the window actually produced DPs
     assert int(np.asarray(r_ref[3]).sum()) > 0
+
+
+def test_pallas_matches_xla_symmetry():
+    """Lockstep bit-exactness in symmetry mode (symClass, y
+    normalization, signed distances)."""
+    n = 128
+    nb_run = 12
+    dp_size = 5
+    range_power = 48
+
+    jt = create_jump_table(range_power, symmetry=True)
+    jx, jy, jd = (jnp.asarray(a) for a in jt.as_arrays())
+    masks = jnp.asarray(jump_ref.dp_limb_masks(dp_size))
+
+    rng = MT19937(77)
+    width_div2 = ((1 << range_power) - 1) >> 1
+    key = curve.mul(0xBEEF12345)
+    px, py, d = herd_mod.create_herd(
+        n, range_power, width_div2, key, 0, rng, symmetry=True
+    )
+    px, py, d = jnp.asarray(px), jnp.asarray(py), jnp.asarray(d)
+
+    r_ref = jump_ref.jump_steps_with_dp(
+        px, py, d, jx, jy, jd, masks, nb_run=nb_run, inv_stop=32,
+        symmetry=True,
+    )
+    r_pal = jump_pallas.jump_steps_with_dp(
+        px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=n,
+        interpret=True, symmetry=True,
+    )
+
+    names = ["px", "py", "d", "count", "dpx", "dpd", "dp_step", "symclass"]
+    for name, a, b in zip(names, r_ref, r_pal):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"mismatch in {name}"
+        )

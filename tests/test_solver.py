@@ -39,3 +39,22 @@ def test_solve_range_start_zero():
     res = solver.solve(0, max_ticks=3000)
     assert res is not None
     assert res.private_key == k
+
+
+def test_solve_20bit_symmetry():
+    """Equivalence-class walk (USE_SYMMETRY analog) solves correctly and
+    the expected-ops model carries the 1/sqrt(2) gain."""
+    width = (1 << 20) - 1
+    start = 0x5000000
+    cfg, k = make_problem(start, width, int(width * 0.37) | 1)
+    opts = SolverOptions(
+        nb_kangaroo=256, dp_size=2, nb_run=8, seed=42, symmetry=True
+    )
+    solver = KangarooSolver(cfg, opts)
+    res = solver.solve(0, max_ticks=3000)
+    assert res is not None
+    assert res.private_key == k
+    plain = KangarooSolver(cfg, SolverOptions(nb_kangaroo=256, dp_size=2))
+    sym_exp = solver.compute_expected(2.0)[0]
+    plain_exp = plain.compute_expected(2.0)[0]
+    assert abs(sym_exp / plain_exp - 2 ** -0.5) < 1e-9
