@@ -233,6 +233,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         save_kangaroo=save_kangaroo,
         split_work_file=wsplit,
         symmetry=symmetry,
+        n_devices=n_devices,
     )
 
     if server_ip:

@@ -51,6 +51,10 @@ class SolverOptions:
     # Equivalence-class walk over {P, -P}: ~sqrt(2) fewer expected ops
     # (reference USE_SYMMETRY, off by default -- Constants.h:24-25)
     symmetry: bool = False
+    # Devices of the local mesh to shard the herd over (0 = all).  The
+    # walk is embarrassingly parallel: each device advances its lane
+    # shard, DPs drain to the single host table (SURVEY.md 2.11).
+    n_devices: int = 0
 
 
 @dataclass
@@ -196,7 +200,35 @@ class KangarooSolver:
         backend = opts.backend
         if not backend:
             backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-        if backend == "pallas":
+
+        devices = jax.devices()
+        nd = opts.n_devices or len(devices)
+        nd = min(nd, len(devices), opts.nb_kangaroo)
+        while nd > 1 and opts.nb_kangaroo % nd:
+            nd -= 1  # lane shards must divide the herd evenly
+        if nd > 1:
+            # shard the herd over the local mesh; tables replicated
+            from ..parallel import sharding as sharding_mod
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            mesh = sharding_mod.make_mesh(devices[:nd])
+            px, py, d = sharding_mod.shard_herd(mesh, px, py, d)
+            repl = sharding_mod.replicated(mesh)
+            jx, jy, jd = (jax.device_put(a, repl) for a in (jx, jy, jd))
+            dp_masks = jax.device_put(dp_masks, repl)
+            symclass = jax.device_put(
+                symclass,
+                NamedSharding(mesh, Pspec(sharding_mod.HERD_AXIS)),
+            )
+            sharded_tick = sharding_mod.make_sharded_jump_steps(
+                mesh, nb_run=opts.nb_run,
+                inv_stop=min(inv_stop, opts.nb_kangaroo // nd),
+                backend=backend, symmetry=opts.symmetry,
+            )
+
+            def tick_fn(px, py, d, sc):
+                return sharded_tick(px, py, d, jx, jy, jd, dp_masks, sc)
+        elif backend == "pallas":
             from ..ops import jump_pallas
 
             block = min(jump_pallas.DEFAULT_BLOCK, n)
@@ -214,6 +246,7 @@ class KangarooSolver:
                     nb_run=opts.nb_run, inv_stop=inv_stop,
                     symmetry=opts.symmetry, symclass=sc,
                 )
+
 
         while result is None:
             if max_ticks is not None and tick >= max_ticks:

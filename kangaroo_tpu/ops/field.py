@@ -14,10 +14,11 @@ Design notes (TPU-first, not a port):
     twice plus a small tail brings values canonical.  (Semantics of the
     reference's _ModMult folding, IntMod.cpp:873-950, re-derived for
     16-bit limbs.)
-  * The modular inverse is a constant-time Bernstein-Yang divstep
-    (safegcd), vectorized across lanes: 53 outer rounds of 14 divsteps
-    accumulated in int32 transition matrices.  This replaces the
-    reference's scalar DRS62 inverse (IntMod.cpp:190-277) with a
+  * The modular inverse is a constant-time safegcd divstep in the
+    half-delta variant (590-iteration bound for 256-bit moduli, as in
+    libsecp256k1), vectorized across lanes: 43 outer rounds of 14
+    divsteps accumulated in int32 transition matrices.  This replaces
+    the reference's scalar DRS62 inverse (IntMod.cpp:190-277) with a
     uniform-control-flow variant suited to the VPU.
   * Batch inversion uses a contiguous fold tree (first half x second
     half) instead of the reference's sequential prefix products
@@ -47,12 +48,14 @@ _I32 = jnp.int32
 # p as numpy limbs, available as compile-time constants.
 P_LIMBS = np.array([(P >> (16 * i)) & 0xFFFF for i in range(16)], dtype=np.uint32)
 
-# Number of divsteps needed for 256-bit inputs (Bernstein-Yang bound
-# ceil((49*256+57)/17) = 742) split into rounds of 14 (matrix entries
-# stay under 2^14 so int32 lane products cannot overflow).
+# Divstep iteration budget.  We use the half-delta variant (delta
+# starts at 1/2): for 256-bit moduli at most 590 iterations are needed
+# (convex-hull bound adopted by libsecp256k1's safegcd, vs 724/742 for
+# the delta=1 variant).  Split into rounds of 14 so transition-matrix
+# entries stay under 2^14 and int32 lane products cannot overflow.
 DIVSTEP_W = 14
-DIVSTEP_ROUNDS = 53  # 53*14 = 742 >= 742
-# 2^-742 mod p, applied once at the end of the inversion.
+DIVSTEP_ROUNDS = 43  # 43*14 = 602 >= 590
+# 2^-602 mod p, applied once at the end of the inversion.
 INV_SCALE = pow(2, -(DIVSTEP_ROUNDS * DIVSTEP_W), P)
 INV_SCALE_LIMBS = np.array(
     [(INV_SCALE >> (16 * i)) & 0xFFFF for i in range(16)], dtype=np.uint32
@@ -423,10 +426,11 @@ def _divstep_rounds(f, g, d, e, delta):
     for _ in range(DIVSTEP_W):
         odd = glow & 1
         swap = (delta > 0) & (odd == 1)
-        # divstep:
-        #   swap:  (delta,f,g) <- (1-delta, g, (g-f)/2)
-        #   else:  (delta,f,g) <- (1+delta, f, (g+odd*f)/2)
-        new_delta = jnp.where(swap, 1 - delta, 1 + delta)
+        # half-delta divstep (delta tracked as t = 2*delta, odd ints):
+        #   swap:  (delta,f,g) <- (1-delta, g, (g-f)/2)   => t <- 2-t
+        #   else:  (delta,f,g) <- (1+delta, f, (g+odd*f)/2) => t <- 2+t
+        # the swap condition delta > 0 is t > 0 in either encoding
+        new_delta = jnp.where(swap, 2 - delta, 2 + delta)
         nf_low = jnp.where(swap, glow, flow)
         ng_low = jnp.where(swap, (glow - flow) >> 1, (glow + odd * flow) >> 1)
         nu = jnp.where(swap, q << 1, u << 1)
@@ -463,7 +467,7 @@ def modinv(a: jnp.ndarray) -> jnp.ndarray:
         [jnp.ones((1, n), dtype=_U32), jnp.zeros((15, n), dtype=_U32)],
         axis=0,
     )
-    delta = jnp.ones((n,), dtype=_I32)
+    delta = jnp.ones((n,), dtype=_I32)  # t = 2*delta with delta0 = 1/2
 
     def body(_, state):
         return _divstep_rounds(*state)

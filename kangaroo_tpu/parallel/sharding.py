@@ -59,41 +59,48 @@ def shard_herd(mesh: Mesh, px, py, d):
 
 def make_sharded_jump_steps(
     mesh: Mesh, nb_run: int, inv_stop: int = 1024, backend: str = "xla",
-    block: int = 0,
+    block: int = 0, symmetry: bool = False,
 ):
     """Compile the multi-jump tick as an SPMD program over the mesh.
 
-    Returns fn(px, py, d, jx, jy, jd, masks) with the contract of
-    jump_ref.jump_steps_with_dp; inputs must be placed with shard_herd
-    (state) / replicated (tables).  Every device runs the kernel on its
-    lane shard; no collectives are needed (DP drain happens on host).
+    Returns fn(px, py, d, jx, jy, jd, masks[, symclass]) with the
+    contract of jump_ref.jump_steps_with_dp; inputs must be placed with
+    shard_herd (state) / replicated (tables).  Every device runs the
+    kernel on its lane shard; no collectives are needed (DP drain
+    happens on host).
     """
     from jax.experimental.shard_map import shard_map
 
-    def local_step(px, py, d, jx, jy, jd, masks):
+    def local_step(px, py, d, jx, jy, jd, masks, symclass):
         if backend == "pallas":
             from ..ops import jump_pallas
 
             blk = block or min(px.shape[1], jump_pallas.DEFAULT_BLOCK)
             return jump_pallas.jump_steps_with_dp(
-                px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=blk
+                px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=blk,
+                symmetry=symmetry, symclass=symclass,
             )
         return jump_ref.jump_steps_with_dp(
             px, py, d, jx, jy, jd, masks, nb_run=nb_run,
-            inv_stop=inv_stop,
+            inv_stop=inv_stop, symmetry=symmetry, symclass=symclass,
         )
 
     state = P(None, HERD_AXIS)
     repl = P(None, None)
+    out_specs = (
+        state, state, state, P(HERD_AXIS),
+        P(None, None, HERD_AXIS), P(None, None, HERD_AXIS),
+        P(None, HERD_AXIS),
+    )
+    if symmetry:
+        out_specs = out_specs + (P(HERD_AXIS),)
     fn = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(state, state, state, repl, repl, repl, P(None)),
-        out_specs=(
-            state, state, state, P(HERD_AXIS),
-            P(None, None, HERD_AXIS), P(None, None, HERD_AXIS),
-            P(None, HERD_AXIS),
+        in_specs=(
+            state, state, state, repl, repl, repl, P(None), P(HERD_AXIS)
         ),
+        out_specs=out_specs,
         check_rep=False,
     )
     return jax.jit(fn)

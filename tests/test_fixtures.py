@@ -19,7 +19,7 @@ FIXTURES = os.path.join(os.path.dirname(__file__), "..", "fixtures")
 
 def test_solve_in32():
     cfg = parse_config_file(os.path.join(FIXTURES, "in32.txt"))
-    opts = SolverOptions(nb_kangaroo=512, dp_size=4, nb_run=16, seed=11)
+    opts = SolverOptions(nb_kangaroo=512, dp_size=4, nb_run=16, seed=11, n_devices=1)
     solver = KangarooSolver(cfg, opts)
     res = solver.solve(0, max_ticks=4000)
     assert res is not None
@@ -32,7 +32,7 @@ def test_stats_model_28bit_batch():
     loose band around the 2.08*sqrt(N) + DP-overhead model."""
     cfg = parse_config_file(os.path.join(FIXTURES, "in28_8.txt"))
     start = cfg.range_start
-    opts = SolverOptions(nb_kangaroo=256, dp_size=3, nb_run=16, seed=23)
+    opts = SolverOptions(nb_kangaroo=256, dp_size=3, nb_run=16, seed=23, n_devices=1)
     solver = KangarooSolver(cfg, opts)
     total_ops = 0
     for i in range(len(cfg.keys)):

@@ -72,7 +72,7 @@ def test_loopback_solve():
     t.start()
     time.sleep(0.8)
 
-    opts = SolverOptions(nb_kangaroo=64, nb_run=8, seed=5)
+    opts = SolverOptions(nb_kangaroo=64, nb_run=8, seed=5, n_devices=1)
     run_client(
         "127.0.0.1", srv.port, opts,
         timeout=5.0, max_ticks=4000, quiet=True, send_period=0.2,
@@ -137,7 +137,7 @@ def test_client_server_kangaroo_backup_flow(tmp_path, monkeypatch):
     from kangaroo_tpu.core.solver import SolverOptions
 
     opts = SolverOptions(
-        nb_kangaroo=64, nb_run=8, seed=5,
+        nb_kangaroo=64, nb_run=8, seed=5, n_devices=1,
         work_file="kang.srv", save_period=1,
     )
     run_client(

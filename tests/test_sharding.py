@@ -46,8 +46,14 @@ def test_sharded_tick_matches_single_device():
     sjx, sjy, sjd, smasks = (
         jax.device_put(a, repl) for a in (jx, jy, jd, masks)
     )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sc = jax.device_put(
+        jnp.zeros((n,), dtype=jnp.uint32),
+        NamedSharding(mesh, P(sharding.HERD_AXIS)),
+    )
     fn = sharding.make_sharded_jump_steps(mesh, nb_run=nb_run, inv_stop=16)
-    out = fn(spx, spy, sd, sjx, sjy, sjd, smasks)
+    out = fn(spx, spy, sd, sjx, sjy, sjd, smasks, sc)
 
     names = ["px", "py", "d", "count", "dpx", "dpd", "dp_step"]
     for name, a, b in zip(names, ref, out):
@@ -70,3 +76,22 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_solver_end_to_end():
+    """KangarooSolver with n_devices=8: herd sharded over the mesh,
+    solve still recovers the key."""
+    from kangaroo_tpu.core.config import ProblemConfig
+    from kangaroo_tpu.core.solver import KangarooSolver, SolverOptions
+
+    width = (1 << 18) - 1
+    start = 0x900000
+    k = start + 98765
+    cfg = ProblemConfig(start, start + width, [curve.mul(k)])
+    opts = SolverOptions(
+        nb_kangaroo=128, dp_size=2, nb_run=8, seed=13, n_devices=8
+    )
+    solver = KangarooSolver(cfg, opts)
+    res = solver.solve(0, max_ticks=3000)
+    assert res is not None
+    assert res.private_key == k

@@ -24,7 +24,7 @@ def test_solve_20bit(k_off_frac):
     width = (1 << 20) - 1
     start = 0x5000000
     cfg, k = make_problem(start, width, int(width * k_off_frac) | 1)
-    opts = SolverOptions(nb_kangaroo=256, dp_size=2, nb_run=8, seed=42)
+    opts = SolverOptions(nb_kangaroo=256, dp_size=2, nb_run=8, seed=42, n_devices=1)
     solver = KangarooSolver(cfg, opts)
     res = solver.solve(0, max_ticks=3000)
     assert res is not None, "no collision found in tick budget"
@@ -34,7 +34,7 @@ def test_solve_20bit(k_off_frac):
 def test_solve_range_start_zero():
     width = (1 << 18) - 1
     cfg, k = make_problem(0, width, 123457)
-    opts = SolverOptions(nb_kangaroo=128, dp_size=1, nb_run=8, seed=7)
+    opts = SolverOptions(nb_kangaroo=128, dp_size=1, nb_run=8, seed=7, n_devices=1)
     solver = KangarooSolver(cfg, opts)
     res = solver.solve(0, max_ticks=3000)
     assert res is not None
@@ -48,7 +48,8 @@ def test_solve_20bit_symmetry():
     start = 0x5000000
     cfg, k = make_problem(start, width, int(width * 0.37) | 1)
     opts = SolverOptions(
-        nb_kangaroo=256, dp_size=2, nb_run=8, seed=42, symmetry=True
+        nb_kangaroo=256, dp_size=2, nb_run=8, seed=42, symmetry=True,
+        n_devices=1,
     )
     solver = KangarooSolver(cfg, opts)
     res = solver.solve(0, max_ticks=3000)
