@@ -267,16 +267,25 @@ class KangarooSolver:
             count_np = np.asarray(count)
             hits = np.nonzero(count_np)[0]
             if hits.size:
-                dpx_np = np.asarray(dpx)
-                dpd_np = np.asarray(dpd)
-                step_np = np.asarray(dp_step)
+                # pull ONLY the hit lanes to the host: the full DP slot
+                # arrays are tens of MB per tick at large herds and the
+                # transfer would dominate the solve loop
+                hit_idx = jnp.asarray(hits.astype(np.int32))
+                dpx_np = np.asarray(jnp.take(dpx, hit_idx, axis=2))
+                dpd_np = np.asarray(jnp.take(dpd, hit_idx, axis=2))
+                step_np = np.asarray(jnp.take(dp_step, hit_idx, axis=1))
+                # vectorized limb -> int conversion for both slots
+                xs_slot = [limbs_to_ints_fast(dpx_np[s]) for s in (0, 1)]
+                ds_slot = [limbs_to_ints_fast(dpd_np[s]) for s in (0, 1)]
                 # process in walk order (step, then lane) so the table
                 # fills like a sequential replay
                 items = []
-                for lane in hits:
+                for pos, lane in enumerate(hits):
                     c = min(int(count_np[lane]), 2)
                     for slot in range(c):
-                        items.append((int(step_np[slot, lane]), int(lane), slot))
+                        items.append(
+                            (int(step_np[slot, pos]), int(lane), pos, slot)
+                        )
                 items.sort()
                 resets = []
                 if dp_sink is not None:
@@ -285,9 +294,9 @@ class KangarooSolver:
                     # Kangaroo.cpp:435-456).  The sink returns True when
                     # the server reports end-of-search.
                     batch = []
-                    for _, lane, slot in items:
-                        x = limbs_to_int(dpx_np[slot, :, lane])
-                        ddev = limbs_to_int(dpd_np[slot, :, lane])
+                    for _, lane, pos, slot in items:
+                        x = int(xs_slot[slot][pos])
+                        ddev = int(ds_slot[slot][pos])
                         ktype = lane % 2
                         d_modn = herd_mod.true_distance(
                             ddev, ktype, self.width_div2,
@@ -301,9 +310,9 @@ class KangarooSolver:
                         progress(self, now - t0)
                         last_status = now
                     continue
-                for _, lane, slot in items:
-                    x = limbs_to_int(dpx_np[slot, :, lane])
-                    ddev = limbs_to_int(dpd_np[slot, :, lane])
+                for _, lane, pos, slot in items:
+                    x = int(xs_slot[slot][pos])
+                    ddev = int(ds_slot[slot][pos])
                     ktype = lane % 2
                     d_modn = herd_mod.true_distance(
                         ddev, ktype, self.width_div2, symmetry=opts.symmetry

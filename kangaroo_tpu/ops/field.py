@@ -476,7 +476,7 @@ def modinv(a: jnp.ndarray) -> jnp.ndarray:
         0, DIVSTEP_ROUNDS, body, (f, g, d, e, delta)
     )
 
-    # f == +-1 (or p for a == 0).  inverse = sign(f) * d * 2^-742 mod p.
+    # f == +-1 (or p for a == 0).  inverse = sign(f) * d * 2^-602 mod p.
     neg = f[16] < 0
     d_canon = _cond_sub_p_arr(d)
     d_neg = negmod(d_canon)
