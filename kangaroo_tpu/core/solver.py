@@ -248,6 +248,123 @@ class KangarooSolver:
                 )
 
 
+        sink_end = False
+
+        def pull(pend):
+            """Bring one tick's DP hits to the host (hit lanes only).
+
+            Must run BEFORE the next tick is dispatched so the gathers
+            execute right after their tick on the device queue.  Pulls
+            only the hit lanes: the full DP slot arrays are tens of MB
+            per tick at large herds.
+            """
+            count, dpx, dpd, dp_step = pend
+            count_np = np.asarray(count)
+            hits = np.nonzero(count_np)[0]
+            if not hits.size:
+                return None
+            # pad the gather index to a power-of-two length: a varying
+            # length would trigger a fresh compile of the gather every
+            # tick (ruinous through a remote compile service)
+            h = len(hits)
+            padded = max(128, 1 << (h - 1).bit_length())
+            if padded > count_np.shape[0]:
+                padded = count_np.shape[0]
+            idx = np.zeros(padded, dtype=np.int32)
+            idx[:h] = hits
+            hit_idx = jnp.asarray(idx)
+            dpx_np = np.asarray(jnp.take(dpx, hit_idx, axis=2))[:, :, :h]
+            dpd_np = np.asarray(jnp.take(dpd, hit_idx, axis=2))[:, :, :h]
+            step_np = np.asarray(jnp.take(dp_step, hit_idx, axis=1))[:, :h]
+            return count_np, hits, dpx_np, dpd_np, step_np
+
+        def drain(pulled):
+            """Process pulled DP hits; returns True to stop.
+
+            Pure host work: runs while the next tick executes on
+            device.  Dead-kangaroo resets land one tick late (the lane
+            walks one extra launch window), the same slack class as the
+            reference's asynchronous GPU readback loop
+            (GPUEngine.cu:607-677).
+            """
+            nonlocal px, py, d, symclass, result, sink_end
+            count_np, hits, dpx_np, dpd_np, step_np = pulled
+            # vectorized limb -> int conversion for both slots
+            xs_slot = [limbs_to_ints_fast(dpx_np[sl]) for sl in (0, 1)]
+            ds_slot = [limbs_to_ints_fast(dpd_np[sl]) for sl in (0, 1)]
+            # process in walk order (step, then lane) so the table
+            # fills like a sequential replay
+            items = []
+            for pos, lane in enumerate(hits):
+                c = min(int(count_np[lane]), 2)
+                for slot in range(c):
+                    items.append(
+                        (int(step_np[slot, pos]), int(lane), pos, slot)
+                    )
+            items.sort()
+            if dp_sink is not None:
+                # Client mode: ship DPs to the server instead of the
+                # local table (reference: SolveKeyCPU client branch,
+                # Kangaroo.cpp:435-456).  The sink returns True when
+                # the server reports end-of-search.
+                batch = []
+                for _, lane, pos, slot in items:
+                    x = int(xs_slot[slot][pos])
+                    ddev = int(ds_slot[slot][pos])
+                    ktype = lane % 2
+                    d_modn = herd_mod.true_distance(
+                        ddev, ktype, self.width_div2,
+                        symmetry=opts.symmetry,
+                    )
+                    batch.append((x, d_modn, ktype, lane))
+                if dp_sink(batch):
+                    sink_end = True
+                    return True
+                return False
+            resets = []
+            for _, lane, pos, slot in items:
+                x = int(xs_slot[slot][pos])
+                ddev = int(ds_slot[slot][pos])
+                ktype = lane % 2
+                d_modn = herd_mod.true_distance(
+                    ddev, ktype, self.width_div2, symmetry=opts.symmetry
+                )
+                status = self.hash_table.add_dp(x, d_modn, ktype)
+                if status == ADD_COLLISION:
+                    dead, res = collision_check(
+                        self.hash_table.k_dist,
+                        self.hash_table.k_type,
+                        d_modn,
+                        ktype,
+                        self.key_to_search,
+                        self.key_to_search_neg,
+                        self.range_start,
+                        width_div2_sym=(
+                            self.width_div2 if opts.symmetry else None
+                        ),
+                    )
+                    if res is not None:
+                        result = res
+                        return True
+                    if dead:
+                        self.stats.dead += 1
+                        resets.append((lane, ktype))
+                elif status == ADD_DUPLICATE:
+                    self.stats.dead += 1
+                    resets.append((lane, ktype))
+            if resets:
+                px, py, d = self._reset_lanes(px, py, d, resets, rng)
+                if opts.symmetry:
+                    # fresh kangaroos start in symmetry class 0
+                    lanes = jnp.asarray(
+                        np.array([l for l, _ in resets], dtype=np.int32)
+                    )
+                    symclass = symclass.at[lanes].set(jnp.uint32(0))
+            return False
+
+        # Pipelined loop: pull tick i's hits, dispatch tick i+1, then
+        # do the host-side processing while the device is busy.
+        pending = None
         while result is None:
             if max_ticks is not None and tick >= max_ticks:
                 break
@@ -257,97 +374,19 @@ class KangarooSolver:
                 > opts.max_step * self.stats.expected_ops
             ):
                 break
+            pulled = pull(pending) if pending is not None else None
             out = tick_fn(px, py, d, symclass)
-            px, py, d, count, dpx, dpd, dp_step = out[:7]
+            px, py, d = out[0], out[1], out[2]
             if opts.symmetry:
                 symclass = out[7]
             self.stats.count += n * opts.nb_run
             tick += 1
 
-            count_np = np.asarray(count)
-            hits = np.nonzero(count_np)[0]
-            if hits.size:
-                # pull ONLY the hit lanes to the host: the full DP slot
-                # arrays are tens of MB per tick at large herds and the
-                # transfer would dominate the solve loop
-                hit_idx = jnp.asarray(hits.astype(np.int32))
-                dpx_np = np.asarray(jnp.take(dpx, hit_idx, axis=2))
-                dpd_np = np.asarray(jnp.take(dpd, hit_idx, axis=2))
-                step_np = np.asarray(jnp.take(dp_step, hit_idx, axis=1))
-                # vectorized limb -> int conversion for both slots
-                xs_slot = [limbs_to_ints_fast(dpx_np[s]) for s in (0, 1)]
-                ds_slot = [limbs_to_ints_fast(dpd_np[s]) for s in (0, 1)]
-                # process in walk order (step, then lane) so the table
-                # fills like a sequential replay
-                items = []
-                for pos, lane in enumerate(hits):
-                    c = min(int(count_np[lane]), 2)
-                    for slot in range(c):
-                        items.append(
-                            (int(step_np[slot, pos]), int(lane), pos, slot)
-                        )
-                items.sort()
-                resets = []
-                if dp_sink is not None:
-                    # Client mode: ship DPs to the server instead of the
-                    # local table (reference: SolveKeyCPU client branch,
-                    # Kangaroo.cpp:435-456).  The sink returns True when
-                    # the server reports end-of-search.
-                    batch = []
-                    for _, lane, pos, slot in items:
-                        x = int(xs_slot[slot][pos])
-                        ddev = int(ds_slot[slot][pos])
-                        ktype = lane % 2
-                        d_modn = herd_mod.true_distance(
-                            ddev, ktype, self.width_div2,
-                            symmetry=opts.symmetry,
-                        )
-                        batch.append((x, d_modn, ktype, lane))
-                    if dp_sink(batch):
-                        break
-                    now = time.time()
-                    if progress is not None and now - last_status > 2.0:
-                        progress(self, now - t0)
-                        last_status = now
-                    continue
-                for _, lane, pos, slot in items:
-                    x = int(xs_slot[slot][pos])
-                    ddev = int(ds_slot[slot][pos])
-                    ktype = lane % 2
-                    d_modn = herd_mod.true_distance(
-                        ddev, ktype, self.width_div2, symmetry=opts.symmetry
-                    )
-                    status = self.hash_table.add_dp(x, d_modn, ktype)
-                    if status == ADD_COLLISION:
-                        dead, res = collision_check(
-                            self.hash_table.k_dist,
-                            self.hash_table.k_type,
-                            d_modn,
-                            ktype,
-                            self.key_to_search,
-                            self.key_to_search_neg,
-                            self.range_start,
-                            width_div2_sym=(
-                                self.width_div2 if opts.symmetry else None
-                            ),
-                        )
-                        if res is not None:
-                            result = res
-                            break
-                        if dead:
-                            self.stats.dead += 1
-                            resets.append((lane, ktype))
-                    elif status == ADD_DUPLICATE:
-                        self.stats.dead += 1
-                        resets.append((lane, ktype))
-                if resets:
-                    px, py, d = self._reset_lanes(px, py, d, resets, rng)
-                    if opts.symmetry:
-                        # fresh kangaroos start in symmetry class 0
-                        lanes = jnp.asarray(
-                            np.array([l for l, _ in resets], dtype=np.int32)
-                        )
-                        symclass = symclass.at[lanes].set(jnp.uint32(0))
+            stop = drain(pulled) if pulled is not None else False
+            pending = out[3:7]
+            if stop:
+                pending = None
+                break
 
             now = time.time()
             if progress is not None and now - last_status > 2.0:
@@ -366,6 +405,11 @@ class KangarooSolver:
                 else:
                     self._save_work(px, py, d, now - t0)
                 last_save = now
+
+        if pending is not None and result is None and not sink_end:
+            pulled = pull(pending)
+            if pulled is not None:
+                drain(pulled)
 
         self.stats.time = self.offset_time + time.time() - t0
         self.last_state = (px, py, d)
