@@ -27,7 +27,7 @@ def print_usage() -> None:
  -v: Print version
  -d dpBit: Specify number of leading zeros for the DP method (default is auto)
  -nk n: Number of kangaroos (herd lanes on device), default 2^18
- -nbrun n: Jumps per device tick, default 64
+ -nbrun n: Jumps per device tick (default: auto from DP size)
  -backend xla|pallas: Jump kernel backend (default pallas on TPU)
  -sym: Equivalence-class walk over {P,-P} (~sqrt(2) speedup; work files
        are NOT compatible with non-symmetric runs)
@@ -83,7 +83,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     dp = -1
     symmetry = False
     nk = 1 << 18
-    nb_run = 64
+    nb_run = 0  # auto
     backend = ""
     n_devices = 0
     work_file = ""

@@ -37,7 +37,7 @@ from .jumptable import JumpTable, create_jump_table
 class SolverOptions:
     nb_kangaroo: int = 1 << 14     # herd lanes on device
     dp_size: int = -1              # -1: auto (suggested DP)
-    nb_run: int = 16               # jumps per device tick
+    nb_run: int = 16               # jumps per device tick (0 = auto)
     max_step: float = 0.0          # abort after max_step*expected ops (0: never)
     seed: Optional[int] = None     # herd RNG seed (None: time seed)
     backend: str = ""              # '', 'xla' or 'pallas' ('' = auto)
@@ -160,6 +160,12 @@ class KangarooSolver:
         if dp_size < 0:
             dp_size = self.suggest_dp(opts.nb_kangaroo)
         self.dp_size = dp_size
+        if opts.nb_run == 0:
+            # auto launch window: as long as possible (host overhead
+            # amortizes over the window) while keeping the expected DP
+            # hits per lane per window under ~1/8 so the 2-slot on-chip
+            # capture almost never overflows
+            opts.nb_run = max(16, min(512, 1 << max(0, dp_size - 3)))
         self.stats.expected_ops, _, _ = self.compute_expected(
             float(dp_size), opts.nb_kangaroo
         )
