@@ -38,6 +38,8 @@ def print_usage() -> None:
  -ws: Save kangaroos in the work file
  -wss: Save kangaroos via the server
  -wsplit: Split work file of server and reset hashtable
+ -wt timeout: Save work timeout in millisec (accepted for
+       compatibility; saves are synchronous here)
  -wm file1 file2 destfile: Merge work file
  -wmdir dir destfile: Merge directory of work files
  -winfo file1: Work file info file
@@ -130,6 +132,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             save_kangaroo_server = True
         elif a == "-wsplit":
             wsplit = True
+        elif a == "-wt":
+            # reference: save-work timeout in ms (Backup.cpp barrier).
+            # Our saves are synchronous on the host, so this is accepted
+            # for script compatibility and otherwise unused.
+            i += 1; _arg(argv, i, a)
         elif a == "-wm":
             f1 = _arg(argv, i + 1, a)
             f2 = _arg(argv, i + 2, a)
