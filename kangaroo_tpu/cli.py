@@ -211,6 +211,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .core.config import ProblemConfig, parse_config_file
     from .core.solver import KangarooSolver, SolverOptions
 
+    if symmetry and (server_mode or server_ip):
+        # The wire protocol has no symmetry marker and the server-side
+        # collision translation for recentered keys is not implemented;
+        # silently mixing -sym clients with a plain table can never
+        # solve (see ADVICE r1).  Refuse instead of corrupting work.
+        print("-sym is not supported in client/server mode")
+        return -1
+
     if server_mode:
         if not in_file:
             print_usage()
@@ -258,11 +266,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .io.backup import load_work
 
         lw = load_work(load_file)
+        if lw.symmetry != opts.symmetry:
+            print(
+                f"{load_file}: work file was saved "
+                f"{'with' if lw.symmetry else 'without'} -sym; rerun "
+                f"{'with' if lw.symmetry else 'without'} -sym to resume it"
+            )
+            return -1
         cfg = ProblemConfig(lw.range_start, lw.range_end, [lw.key])
         solver = KangarooSolver(cfg, opts)
         solver.hash_table = lw.hash_table
         solver.offset_count = lw.count
         solver.offset_time = lw.time
+        solver.resumed = True
         if lw.kangaroos is not None:
             solver.loaded_kangaroos = lw.kangaroos
         if opts.dp_size < 0:
@@ -275,6 +291,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     print(f"Start:{cfg.range_start:X}")
     print(f"Stop :{cfg.range_end:X}")
     print(f"Keys :{len(cfg.keys)}")
+
+    # Startup estimates (reference: Kangaroo::Run, Kangaroo.cpp:976-999
+    # and SetDP :154-172)
+    print(f"Number of kangaroos: 2^{math.log2(nk):.2f}")
+    suggested_dp = solver.suggest_dp(nk)
+    if opts.dp_size < 0:
+        opts.dp_size = suggested_dp
+        print(f"Suggested DP: {suggested_dp}")
+    exp_op, exp_ram, _ = solver.compute_expected(float(opts.dp_size), nk)
+    print(f"Expected operations: 2^{math.log2(exp_op):.2f}")
+    print(f"Expected RAM: {exp_ram:.1f}MB")
+    dp_eff = min(opts.dp_size, 64)
+    dmask = (~((1 << (64 - dp_eff)) - 1)) & 0xFFFFFFFFFFFFFFFF if dp_eff else 0
+    print(f"DP size: {dp_eff} [0x{dmask:016x}]")
 
     last = {"count": 0, "t": time.time()}
     rates: List[float] = []

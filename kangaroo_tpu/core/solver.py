@@ -63,6 +63,9 @@ class SolveStats:
     dead: int = 0
     time: float = 0.0
     expected_ops: float = 0.0
+    # DP hits beyond the per-lane capture slots in one launch window
+    # (reference warns on its bounded output ring, GPUEngine.cu:641-648)
+    lost: int = 0
 
 
 class KangarooSolver:
@@ -79,6 +82,11 @@ class KangarooSolver:
         self.offset_count = 0
         self.offset_time = 0.0
         self.loaded_kangaroos = None
+        # resume marker: when True, solve() keeps the already-loaded
+        # hash table instead of resetting it (reference: LoadWork then
+        # Run keeps the table, Backup.cpp:149-207)
+        self.resumed = False
+        self._lost_warned = False
         self._init_range()
 
     # -- range / key init (reference: InitRange, Kangaroo.cpp:877-890) --
@@ -176,8 +184,36 @@ class KangarooSolver:
         )
 
         if self.loaded_kangaroos is not None:
-            px, py, d = self.loaded_kangaroos
-            px, py, d = jnp.asarray(px), jnp.asarray(py), jnp.asarray(d)
+            # Reconcile the restored herd with the requested lane count
+            # (reference: FectchKangaroos fills any shortfall with fresh
+            # kangaroos and warns about surplus, Backup.cpp:283-287).
+            # The lane-parity type convention (lane % 2) is preserved by
+            # truncating/appending at the tail.
+            px_np, py_np, d_np = (np.asarray(a) for a in self.loaded_kangaroos)
+            nl = px_np.shape[1]
+            if nl > opts.nb_kangaroo:
+                if not opts.quiet:
+                    print(
+                        f"Warning: {nl - opts.nb_kangaroo} unhandled "
+                        f"kangaroos! (-nk {opts.nb_kangaroo} < {nl} restored)"
+                    )
+                px_np = px_np[:, :opts.nb_kangaroo]
+                py_np = py_np[:, :opts.nb_kangaroo]
+                d_np = d_np[:, :opts.nb_kangaroo]
+            elif nl < opts.nb_kangaroo:
+                fx, fy, fd = herd_mod.create_herd(
+                    opts.nb_kangaroo - nl,
+                    self.range_power,
+                    self.width_div2,
+                    self.key_to_search,
+                    nl % 2,
+                    rng,
+                    symmetry=opts.symmetry,
+                )
+                px_np = np.concatenate([px_np, fx], axis=1)
+                py_np = np.concatenate([py_np, fy], axis=1)
+                d_np = np.concatenate([d_np, fd], axis=1)
+            px, py, d = jnp.asarray(px_np), jnp.asarray(py_np), jnp.asarray(d_np)
         else:
             px_np, py_np, d_np = herd_mod.create_herd(
                 opts.nb_kangaroo,
@@ -191,7 +227,9 @@ class KangarooSolver:
             px, py, d = jnp.asarray(px_np), jnp.asarray(py_np), jnp.asarray(d_np)
         symclass = jnp.zeros((opts.nb_kangaroo,), dtype=jnp.uint32)
 
-        self.hash_table.reset()
+        if not self.resumed:
+            self.hash_table.reset()
+        self.resumed = False
         self.stats.count = self.offset_count
         self.stats.dead = 0
         t0 = time.time()
@@ -295,6 +333,21 @@ class KangarooSolver:
             """
             nonlocal px, py, d, symclass, result, sink_end
             count_np, hits, dpx_np, dpd_np, step_np = pulled
+            # DP hits beyond the 2 on-chip capture slots are dropped by
+            # the kernel; count and warn like the reference's output
+            # ring overflow (GPUEngine.cu:641-648)
+            lost = int(
+                np.maximum(count_np[hits].astype(np.int64) - 2, 0).sum()
+            )
+            if lost:
+                self.stats.lost += lost
+                if not self._lost_warned and not opts.quiet:
+                    self._lost_warned = True
+                    print(
+                        f"\nWarning, {lost} items lost\n"
+                        f"Hint: increase dp bit number or decrease "
+                        f"-nbrun to lower the DP rate per launch window"
+                    )
             # vectorized limb -> int conversion for both slots
             xs_slot = [limbs_to_ints_fast(dpx_np[sl]) for sl in (0, 1)]
             ds_slot = [limbs_to_ints_fast(dpd_np[sl]) for sl in (0, 1)]

@@ -94,10 +94,18 @@ def merge_max_item(nb: int) -> int:
     return ((nb // 4) + 1) * 4
 
 
+# Version written for equivalence-class (-sym) walks.  Symmetric work
+# files carry sign-flipped distances that plain-mode tooling would
+# misinterpret, so they get their own version number: both our merge
+# and the reference's reject version mismatches (Merge.cpp:108-143),
+# keeping version-0 files fully interoperable with the stock binary.
+SYM_VERSION = 1
+
+
 def write_header(f, head_type: int, solver=None, total_count: int = 0,
-                 total_time: float = 0.0):
+                 total_time: float = 0.0, symmetry: bool = False):
     _w_u32(f, head_type)
-    _w_u32(f, 0)  # version
+    _w_u32(f, SYM_VERSION if symmetry else 0)
     if head_type == HEADW:
         key = solver.cfg.keys[solver.key_idx]
         _w_u32(f, solver.dp_size)
@@ -154,9 +162,10 @@ def save_work(
     """
     from ..utils.intutils import limbs_to_ints_fast
 
+    sym = bool(getattr(solver.opts, "symmetry", False))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        write_header(f, HEADW, solver, total_count, total_time)
+        write_header(f, HEADW, solver, total_count, total_time, symmetry=sym)
         write_hash_table(f, solver.hash_table)
         if save_kangaroo and px is not None:
             n = px.shape[1]
@@ -175,7 +184,8 @@ def save_work(
                 _w_int(f, int(ys[i]) % P, 32)
                 _w_int(
                     f,
-                    true_distance(int(ds[i]), i % 2, solver.width_div2),
+                    true_distance(int(ds[i]), i % 2, solver.width_div2,
+                                  symmetry=sym),
                     32,
                 )
         else:
@@ -196,14 +206,17 @@ class LoadedWork:
     kangaroos: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]
     # raw mod-n distances of loaded kangaroos (for re-deriving)
     dists: Optional[List[int]] = None
+    # True when the file was written by an equivalence-class (-sym) walk
+    symmetry: bool = False
 
 
-def read_header(f, expect: Optional[int] = None) -> int:
+def read_header(f, expect: Optional[int] = None) -> Tuple[int, int]:
+    """Read (head magic, version)."""
     head = _r_u32(f)
-    _r_u32(f)  # version
+    version = _r_u32(f)
     if expect is not None and head != expect:
         raise ValueError(f"unexpected work file header 0x{head:08X}")
-    return head
+    return head, version
 
 
 def load_work(path: str, load_kangaroos: bool = True) -> LoadedWork:
@@ -211,7 +224,8 @@ def load_work(path: str, load_kangaroos: bool = True) -> LoadedWork:
     from ..utils.intutils import ints_to_limbs
 
     with open(path, "rb") as f:
-        read_header(f, HEADW)
+        _, version = read_header(f, HEADW)
+        sym = version == SYM_VERSION
         dp = _r_u32(f)
         range_start = _r_int(f, 32)
         range_end = _r_int(f, 32)
@@ -239,7 +253,7 @@ def load_work(path: str, load_kangaroos: bool = True) -> LoadedWork:
             from ..core.herd import device_distance
 
             ddev = [
-                device_distance(dm, i % 2, width_div2)
+                device_distance(dm, i % 2, width_div2, symmetry=sym)
                 for i, dm in enumerate(ds)
             ]
             kang = (
@@ -249,7 +263,8 @@ def load_work(path: str, load_kangaroos: bool = True) -> LoadedWork:
             )
             dists = ds
     return LoadedWork(
-        dp, range_start, range_end, key, count, ttime, ht, nb, kang, dists
+        dp, range_start, range_end, key, count, ttime, ht, nb, kang, dists,
+        symmetry=sym,
     )
 
 
@@ -261,17 +276,19 @@ def save_kangaroo_file(
     from ..core.herd import true_distance
     from ..utils.intutils import limbs_to_ints_fast
 
+    sym = bool(getattr(solver.opts, "symmetry", False))
     n = px.shape[1]
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         write_header(f, HEADKS if compressed else HEADK, None,
-                     total_count, total_time)
+                     total_count, total_time, symmetry=sym)
         _w_u64(f, n)
         xs = limbs_to_ints_fast(px)
         ys = limbs_to_ints_fast(py)
         ds = limbs_to_ints_fast(d)
         for i in range(n):
-            dist = true_distance(int(ds[i]), i % 2, solver.width_div2)
+            dist = true_distance(int(ds[i]), i % 2, solver.width_div2,
+                                 symmetry=sym)
             if compressed:
                 # 16-byte D encoding, type from kangaroo parity
                 _, _, d128 = convert(0, dist, i % 2)
@@ -290,6 +307,7 @@ def load_kangaroo_file(
     range_start: int,
     range_end: int,
     key_to_search: Optional[curve.PointA],
+    symmetry: bool = False,
 ):
     """Load a HEADK/HEADKS kangaroo-only file -> (px, py, d_dev) arrays.
 
@@ -305,9 +323,16 @@ def load_kangaroo_file(
     from ..utils.intutils import ints_to_limbs
 
     with open(path, "rb") as f:
-        head = read_header(f)
+        head, version = read_header(f)
         if head not in (HEADK, HEADKS):
             raise ValueError(f"{path}: not a kangaroo-only file")
+        sym = version == SYM_VERSION
+        if sym != symmetry:
+            raise ValueError(
+                f"{path}: kangaroo file was saved "
+                f"{'with' if sym else 'without'} -sym; rerun "
+                f"{'with' if sym else 'without'} -sym to resume it"
+            )
         nb = _r_u64(f)
         width_div2 = (range_end - range_start) >> 1
         if head == HEADK:
@@ -317,7 +342,7 @@ def load_kangaroo_file(
                 ys.append(_r_int(f, 32))
                 ds.append(_r_int(f, 32))
             ddev = [
-                device_distance(dm, i % 2, width_div2)
+                device_distance(dm, i % 2, width_div2, symmetry=sym)
                 for i, dm in enumerate(ds)
             ]
             return (
@@ -327,7 +352,8 @@ def load_kangaroo_file(
             )
         # HEADKS: rebuild positions from D-encoded distances
         d128s = [_r_int(f, 16) for _ in range(nb)]
-    return rebuild_from_d128(d128s, range_start, range_end, key_to_search)
+    return rebuild_from_d128(d128s, range_start, range_end, key_to_search,
+                             symmetry=sym)
 
 
 def rebuild_from_d128(
@@ -335,12 +361,20 @@ def rebuild_from_d128(
     range_start: int,
     range_end: int,
     key_to_search: Optional[curve.PointA],
+    symmetry: bool = False,
 ):
     """D-encoded distances -> (px, py, d_dev) herd arrays.
 
     Positions are rebuilt with the batched scalar multiply
     (dist*G, plus keyToSearch for wild entries), like the reference's
     compressed fetch (FetchWalks, Backup.cpp:233-289).
+
+    Symmetry mode additionally normalizes each rebuilt point into its
+    equivalence class (y <= p/2, negating the distance on flip) exactly
+    like herd creation (Kangaroo.cpp:726-734); symClass restarts at 0,
+    matching the reference's restore (FetchWalks reallocates symClass
+    zeroed).  The walk invariant pos = +-key + d*G is preserved because
+    position and distance flip together.
     """
     import numpy as np
     import jax.numpy as jnp
@@ -377,12 +411,24 @@ def rebuild_from_d128(
         sel = jnp.asarray(wild)[None, :]
         px = jnp.where(sel, wx, px)
         py = jnp.where(sel, wy, py)
+    px_np, py_np = np.asarray(px), np.array(py)
+    if symmetry:
+        from ..constants import P
+        from ..utils.intutils import int_to_limbs, limbs_to_ints_fast
+
+        ys = limbs_to_ints_fast(py_np)
+        for i in range(nb):
+            y = int(ys[i]) % P
+            if y > P >> 1:
+                py_np[:, i] = int_to_limbs(P - y)
+                dists[i] = (-dists[i]) % N_ORDER
     ddev = [
-        device_distance(dm, t, width_div2) for dm, t in zip(dists, types)
+        device_distance(dm, t, width_div2, symmetry=symmetry)
+        for dm, t in zip(dists, types)
     ]
     return (
-        np.asarray(px),
-        np.asarray(py),
+        px_np,
+        py_np,
         ints_to_limbs(ddev, 8),
     )
 
@@ -390,7 +436,7 @@ def rebuild_from_d128(
 def work_info(path: str) -> str:
     """-winfo: header + hash table stats (reference: Backup.cpp:574-652)."""
     with open(path, "rb") as f:
-        head = read_header(f)
+        head, version = read_header(f)
         lines = []
         if head == HEADW:
             dp = _r_u32(f)
@@ -400,7 +446,7 @@ def work_info(path: str) -> str:
             ky = _r_int(f, 32)
             count = _r_u64(f)
             ttime = _r_f64(f)
-            lines.append(f"Version   : 0")
+            lines.append(f"Version   : {version}")
             lines.append(f"DP bits   : {dp}")
             lines.append(f"Start     : {range_start:X}")
             lines.append(f"Stop      : {range_end:X}")

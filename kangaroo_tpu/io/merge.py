@@ -44,11 +44,13 @@ class WorkHeader:
     key: curve.PointA
     count: int
     time: float
+    # 0 = reference-compatible; SYM_VERSION = -sym walk (see backup.py)
+    version: int = 0
 
 
 def read_work_header(f: BinaryIO, path: str = "") -> WorkHeader:
     """Read a full HEADW header (magic+version+globals)."""
-    backup.read_header(f, HEADW)
+    _, version = backup.read_header(f, HEADW)
     dp = _r_u32(f)
     rs = _r_int(f, 32)
     re = _r_int(f, 32)
@@ -59,12 +61,12 @@ def read_work_header(f: BinaryIO, path: str = "") -> WorkHeader:
     key = curve.PointA(kx, ky)
     if not curve.on_curve(key):
         raise ValueError(f"{path}: key does not lie on elliptic curve")
-    return WorkHeader(dp, rs, re, key, count, t)
+    return WorkHeader(dp, rs, re, key, count, t, version)
 
 
 def write_work_header(f: BinaryIO, hdr: WorkHeader) -> None:
     _w_u32(f, HEADW)
-    _w_u32(f, 0)
+    _w_u32(f, hdr.version)
     _w_u32(f, hdr.dp)
     _w_int(f, hdr.range_start, 32)
     _w_int(f, hdr.range_end, 32)
@@ -75,7 +77,13 @@ def write_work_header(f: BinaryIO, hdr: WorkHeader) -> None:
 
 
 def check_compat(h1: WorkHeader, h2: WorkHeader, what: str) -> None:
-    """Range/key compatibility (reference: Merge.cpp:108-143)."""
+    """Range/key/version compatibility (reference: Merge.cpp:108-143).
+
+    Version also encodes the -sym marker: symmetric and plain work
+    files carry incompatible distance conventions and must not merge.
+    """
+    if h1.version != h2.version:
+        raise ValueError(f"{what}: cannot merge workfiles of different versions")
     if h1.range_start != h2.range_start or h1.range_end != h2.range_end:
         raise ValueError(f"{what}: file range differs")
     if h1.key != h2.key:
@@ -93,14 +101,23 @@ class MergeContext:
     range_start: int
     dead: int = 0
     result: Optional[SolveResult] = None
+    # set for -sym files: collisions need the recentering shift
+    width_div2_sym: Optional[int] = None
 
     @classmethod
     def from_header(cls, hdr: WorkHeader) -> "MergeContext":
+        sym = hdr.version == backup.SYM_VERSION
+        width_div2 = (hdr.range_end - hdr.range_start) >> 1
         sp = hdr.range_start % N_ORDER
+        if sym:
+            # symmetric walks recenter the key on the range middle
+            # (see KangarooSolver.init_search_key)
+            sp = (sp + width_div2) % N_ORDER
         key = hdr.key
         if sp != 0:
             key = curve.add(key, curve.mul(sp).neg())
-        return cls(key, key.neg(), hdr.range_start)
+        return cls(key, key.neg(), hdr.range_start,
+                   width_div2_sym=width_div2 if sym else None)
 
     def on_collision(self, d128_1: int, d128_2: int) -> None:
         d1, t1 = calc_dist_and_type(d128_1)
@@ -108,6 +125,7 @@ class MergeContext:
         dead, res = collision_check(
             d1, t1, d2, t2,
             self.key_to_search, self.key_to_search_neg, self.range_start,
+            width_div2_sym=self.width_div2_sym,
         )
         if res is not None:
             self.result = res
@@ -223,7 +241,7 @@ def merge_work(
         ctx = MergeContext.from_header(h1)
         hd = WorkHeader(
             min(h1.dp, h2.dp), h1.range_start, h1.range_end, h1.key,
-            h1.count + h2.count, h1.time + h2.time,
+            h1.count + h2.count, h1.time + h2.time, h1.version,
         )
         tmp = dest + ".tmp"
         n_dp = 0
@@ -233,6 +251,11 @@ def merge_work(
         native = _native_merge(file1, file2, tmp, ctx)
         if native is not None:
             n_dp, dup = native
+        else:
+            # a failed native attempt may have partially written the
+            # table region; cut back to the header so the Python
+            # fallback appends onto a clean file
+            os.truncate(tmp, HEADW_HEADER_SIZE)
         with open(tmp, "r+b" if native is not None else "ab") as fd:
             fd.seek(0, os.SEEK_END)
             if native is None:
@@ -361,7 +384,7 @@ def merge_work_part(
         ctx = MergeContext.from_header(h1)
         hd = WorkHeader(
             min(h1.dp, h2.dp), h1.range_start, h1.range_end, h1.key,
-            h1.count + h2.count, h1.time + h2.time,
+            h1.count + h2.count, h1.time + h2.time, h1.version,
         )
         dup = 0
         from .. import native as native_mod
@@ -421,7 +444,8 @@ def merge_work_part_part(
         h2 = read_work_header(fh, h2_path)
     h1_path = os.path.join(dir1, "header")
     if _is_empty(h1_path):
-        h1 = WorkHeader(h2.dp, h2.range_start, h2.range_end, h2.key, 0, 0.0)
+        h1 = WorkHeader(h2.dp, h2.range_start, h2.range_end, h2.key, 0, 0.0,
+                        h2.version)
     else:
         with open(h1_path, "rb") as fh:
             h1 = read_work_header(fh, h1_path)
@@ -429,7 +453,7 @@ def merge_work_part_part(
     ctx = MergeContext.from_header(h1)
     hd = WorkHeader(
         min(h1.dp, h2.dp), h1.range_start, h1.range_end, h1.key,
-        h1.count + h2.count, h1.time + h2.time,
+        h1.count + h2.count, h1.time + h2.time, h1.version,
     )
     if nb_thread <= 0:
         nb_thread = min(16, os.cpu_count() or 1)

@@ -61,6 +61,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_ulonglong),
         ]
         lib.kt_count_buckets.restype = ctypes.c_longlong
         lib.kt_count_buckets.argtypes = [
@@ -80,20 +81,31 @@ def merge_buckets(
     """Native streamed merge of n_buckets; None if the lib is missing.
 
     Returns (total_dps, duplicates, [(d128_1, d128_2) collisions]).
+    Every collision is reported: if the pair buffer overflows (the core
+    counts all collisions in coll_total), the merge is re-run with a
+    buffer sized to the exact count -- the re-run writes byte-identical
+    dest output, so this is safe and rare (collisions are one-in-2^dp
+    events; >64 in one merge means a huge or duplicated file).
     """
     lib = get_lib()
     if lib is None:
         return None
-    dup = ctypes.c_ulonglong(0)
-    coll = (ctypes.c_uint8 * (32 * MAX_COLLISIONS))()
-    n_coll = ctypes.c_uint32(0)
-    total = lib.kt_merge_buckets(
-        f1.encode(), off1, f2.encode(), off2, dest.encode(), dest_off,
-        n_buckets, ctypes.byref(dup), coll, ctypes.byref(n_coll),
-        MAX_COLLISIONS,
-    )
-    if total < 0:
-        raise IOError(f"native merge failed ({f1} + {f2} -> {dest})")
+    max_coll = MAX_COLLISIONS
+    while True:
+        dup = ctypes.c_ulonglong(0)
+        coll = (ctypes.c_uint8 * (32 * max_coll))()
+        n_coll = ctypes.c_uint32(0)
+        coll_total = ctypes.c_ulonglong(0)
+        total = lib.kt_merge_buckets(
+            f1.encode(), off1, f2.encode(), off2, dest.encode(), dest_off,
+            n_buckets, ctypes.byref(dup), coll, ctypes.byref(n_coll),
+            max_coll, ctypes.byref(coll_total),
+        )
+        if total < 0:
+            raise IOError(f"native merge failed ({f1} + {f2} -> {dest})")
+        if coll_total.value <= n_coll.value:
+            break
+        max_coll = int(coll_total.value)
     pairs = []
     raw = bytes(coll)
     for i in range(n_coll.value):

@@ -45,13 +45,18 @@ extern "C" {
 // off2) into dest (appended at dest_off).  Returns total merged DPs or
 // -1 on IO error.  dup_out accumulates duplicate count; collisions are
 // reported as (d1,d2) 32-byte pairs, up to max_coll of them.
+// coll_total_out counts EVERY collision seen (it can exceed max_coll;
+// the caller detects buffer overflow by coll_total > n_coll and re-runs
+// with a larger buffer -- no collision may ever be silently dropped,
+// a dropped tame/wild pair could be the solving one).
 long long kt_merge_buckets(const char* f1_path, long long off1,
                            const char* f2_path, long long off2,
                            const char* dest_path, long long dest_off,
                            uint32_t n_buckets,
                            unsigned long long* dup_out,
                            uint8_t* collisions, uint32_t* n_coll,
-                           uint32_t max_coll) {
+                           uint32_t max_coll,
+                           unsigned long long* coll_total_out) {
     FILE* f1 = fopen(f1_path, "rb");
     FILE* f2 = fopen(f2_path, "rb");
     FILE* fd = fopen(dest_path, "rb+");
@@ -64,6 +69,7 @@ long long kt_merge_buckets(const char* f1_path, long long off1,
         total = 0;
         *dup_out = 0;
         *n_coll = 0;
+        *coll_total_out = 0;
         for (uint32_t h = 0; h < n_buckets; ++h) {
             uint32_t n1, m1, n2, m2;
             if (!read_u32(f1, &n1) || !read_u32(f1, &m1) ||
@@ -87,10 +93,14 @@ long long kt_merge_buckets(const char* f1_path, long long off1,
                 } else {
                     if (memcmp(b1[i].d, b2[j].d, 16) == 0) {
                         ++dup;
-                    } else if (*n_coll < max_coll) {
-                        memcpy(collisions + 32ull * (*n_coll), b1[i].d, 16);
-                        memcpy(collisions + 32ull * (*n_coll) + 16, b2[j].d, 16);
-                        ++(*n_coll);
+                    } else {
+                        ++(*coll_total_out);
+                        if (*n_coll < max_coll) {
+                            memcpy(collisions + 32ull * (*n_coll), b1[i].d, 16);
+                            memcpy(collisions + 32ull * (*n_coll) + 16, b2[j].d,
+                                   16);
+                            ++(*n_coll);
+                        }
                     }
                     out.push_back(b1[i]);  // keep the file-1 entry
                     ++i;

@@ -47,6 +47,12 @@ _I32 = jnp.int32
 
 # p as numpy limbs, available as compile-time constants.
 P_LIMBS = np.array([(P >> (16 * i)) & 0xFFFF for i in range(16)], dtype=np.uint32)
+# low 256 bits of 2p (= 2p - 2^256 = p - c); used by submod so the
+# 2^256 carry is structurally guaranteed for ANY inputs < 2^256.
+TWOP_LOW_LIMBS = np.array(
+    [(((2 * P) - (1 << 256)) >> (16 * i)) & 0xFFFF for i in range(16)],
+    dtype=np.uint32,
+)
 
 # Divstep iteration budget.  We use the half-delta variant (delta
 # starts at 1/2): for 256-bit moduli at most 590 iterations are needed
@@ -236,15 +242,19 @@ def _one_row0(like: jnp.ndarray) -> jnp.ndarray:
 
 
 def submod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a - b) mod p, canonical for inputs < 2^256.
+    """(a - b) mod p, relaxed output < 2^256 for ANY inputs < 2^256.
 
-    Computes a + p + (~b) + 1 = a - b + p + 2^256; the guaranteed
-    2^256 carry is dropped and the residual top folded.
+    Computes a + 2p + (~b) + 1 = a - b + 2p + 2^256 with the 2^256 of
+    2p implicit: the rows sum to a - b + 2p, which is structurally
+    positive for every a >= 0, b < 2^256 (b < 2^256 < 2p), so no
+    precondition relates a and b -- unlike the single-p variant, whose
+    "guaranteed" carry broke for relaxed b > a + p.  The top after
+    carries is a - b + 2p < 2^258, i.e. t[16] <= 3, folded exactly.
     """
-    t = a + _const_cols(P_LIMBS, a) + (_M16 ^ b) + _one_row0(a)  # < 2^18
+    t = a + _const_cols(TWOP_LOW_LIMBS, a) + (_M16 ^ b) + _one_row0(a)  # < 2^18
     t = _carry1(t, 17)            # limbs < 2^16 + 4 -> KS-safe
     t = _carry_exact(t, 17)
-    return _fold_small_arr(t[:16], t[16] - jnp.uint32(1))
+    return _fold_small_arr(t[:16], t[16])
 
 
 def negmod(a: jnp.ndarray) -> jnp.ndarray:

@@ -95,6 +95,27 @@ class TestAddSub:
         got = from_dev(field.submod(to_dev(a), to_dev(b)))
         assert_relaxed(got, [(x - y) % P for x, y in zip(a, b)])
 
+    def test_sub_relaxed_b_greater_a_plus_p(self):
+        """ADVICE r1: b in [p, 2^256), a < b - p broke the single-p
+        variant's carry guarantee; the 2p form must be exact for ANY
+        inputs < 2^256."""
+        pairs = [
+            (0, (1 << 256) - 1),
+            (0, P + 1),
+            (5, P + 7),
+            (0, P),
+            (1, (1 << 256) - 977),
+            (P - 1, (1 << 256) - 1),
+        ]
+        pairs += [
+            (rng.randrange(1 << 20), rng.randrange(P + (1 << 30), 1 << 256))
+            for _ in range(64)
+        ]
+        a = [x for x, _ in pairs]
+        b = [y for _, y in pairs]
+        got = from_dev(field.submod(to_dev(a), to_dev(b)))
+        assert_relaxed(got, [(x - y) % P for x, y in zip(a, b)])
+
     def test_neg(self):
         a = rand_vals(64) + [0, 1, P - 1]
         got = from_dev(field.negmod(to_dev(a)))

@@ -153,3 +153,32 @@ def test_partitioned_merge(tmp_path):
                 f.read(32 * nb)
                 n += nb
     assert n == 48
+
+
+def test_merge_collision_overflow_all_resolved(tmp_path):
+    """More collisions than the native pair buffer (64): every one must
+    still be resolved -- the native core reports the true total and the
+    wrapper re-runs with a grown buffer (ADVICE r1: a dropped tame/wild
+    pair could be the solving one)."""
+    from kangaroo_tpu import native as native_mod
+    from kangaroo_tpu.constants import N_ORDER
+
+    if native_mod.get_lib() is None:
+        pytest.skip("native merge core unavailable")
+
+    n_coll = native_mod.MAX_COLLISIONS + 16
+    ht1, ht2 = HashTable(), HashTable()
+    for i in range(n_coll):
+        dist = 5000 + i
+        x, d, t = make_dp(dist, 0)
+        ht1.add_dp(x, d, t)
+        # same x, different D128 (sign-flagged n-dist): dead collision
+        ht2.add_dp(x, N_ORDER - dist, t)
+    f1, f2, fd = (str(tmp_path / n) for n in ("a.work", "b.work", "m.work"))
+    save_table(f1, ht1)
+    save_table(f2, ht2)
+    ok, res, dead = merge.merge_work(f1, f2, fd, verbose=False)
+    assert ok and res is None
+    assert dead == n_coll
+    lw = backup.load_work(fd)
+    assert lw.hash_table.n_items() == n_coll
