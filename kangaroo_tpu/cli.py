@@ -38,8 +38,8 @@ def print_usage() -> None:
  -ws: Save kangaroos in the work file
  -wss: Save kangaroos via the server
  -wsplit: Split work file of server and reset hashtable
- -wt timeout: Save work timeout in millisec (accepted for
-       compatibility; saves are synchronous here)
+ -wt timeout: Save work timeout in millisec (max wait for a running
+       background save before skipping an interval; default 3000)
  -wm file1 file2 destfile: Merge work file
  -wmdir dir destfile: Merge directory of work files
  -winfo file1: Work file info file
@@ -91,6 +91,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     work_file = ""
     load_file = ""
     save_period = 60
+    save_timeout = 3.0
     save_kangaroo = False
     save_kangaroo_server = False
     wsplit = False
@@ -133,10 +134,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif a == "-wsplit":
             wsplit = True
         elif a == "-wt":
-            # reference: save-work timeout in ms (Backup.cpp barrier).
-            # Our saves are synchronous on the host, so this is accepted
-            # for script compatibility and otherwise unused.
-            i += 1; _arg(argv, i, a)
+            # save-work timeout in ms (reference wtimeout): how long to
+            # wait for a still-running background save before skipping
+            i += 1; save_timeout = float(_arg(argv, i, a)) / 1000.0
         elif a == "-wm":
             f1 = _arg(argv, i + 1, a)
             f2 = _arg(argv, i + 2, a)
@@ -245,6 +245,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         out_file=out_file,
         work_file=work_file,
         save_period=save_period,
+        save_timeout=save_timeout,
         save_kangaroo=save_kangaroo,
         split_work_file=wsplit,
         symmetry=symmetry,

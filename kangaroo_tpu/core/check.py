@@ -174,6 +174,97 @@ def check_partitioned(directory: str, batch: int = 4096) -> CheckReport:
     return report
 
 
+def pallas_lockstep_check(
+    n: int = 4096,
+    nb_run: int = 512,
+    dp_size: int = 6,
+    verbose: bool = True,
+) -> bool:
+    """Hardware lockstep: the Pallas kernel vs the XLA reference walk.
+
+    TPU counterpart of the reference's GPU-vs-CPU lockstep oracle
+    (Check.cpp:467-619), run at a production-shaped window (one full
+    block, nb_run 512 so step indices exceed 255, dp chosen so lanes
+    overflow the 2 capture slots), symmetry off and on.  On a TPU this
+    executes the real Mosaic-lowered kernel (interpret mode cannot
+    catch lowering bugs); elsewhere it falls back to interpret mode as
+    a consistency check.
+
+    Bit-equality contract: px (canonical), d, symclass, dp_count and
+    every DP slot (x, d, step) must match exactly.  py is carried in
+    relaxed form (< 2^256) and its representative may differ between
+    backends, so it is compared mod p.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..constants import P
+    from ..ops import jump_pallas, jump_ref
+    from .jumptable import create_jump_table
+
+    platform = jax.devices()[0].platform
+    interpret = platform != "tpu"
+    rng = np.random.RandomState(0xD00D)
+    px = jnp.asarray(rng.randint(0, 1 << 16, (16, n)).astype(np.uint32))
+    py = jnp.asarray(rng.randint(0, 1 << 16, (16, n)).astype(np.uint32))
+    d = jnp.asarray(rng.randint(0, 1 << 16, (8, n)).astype(np.uint32))
+    jt = create_jump_table(64)
+    jxp, jyp, jdp = jt.as_arrays()
+    jts = create_jump_table(64, symmetry=True)
+    jxs, jys, jds = jts.as_arrays()
+    masks = jnp.asarray(jump_ref.dp_limb_masks(dp_size))
+
+    ok = True
+    for symmetry in (False, True):
+        jx, jy, jd = (
+            jnp.asarray(a)
+            for a in ((jxs, jys, jds) if symmetry else (jxp, jyp, jdp))
+        )
+        sc = jnp.zeros((n,), dtype=jnp.uint32)
+        # identical inv_stop so relaxed intermediates match shape-wise;
+        # values are backend-independent either way
+        ref = jump_ref.jump_steps_with_dp(
+            px, py, d, jx, jy, jd, masks, nb_run=nb_run,
+            inv_stop=min(jump_pallas.INV_STOP, n),
+            symmetry=symmetry, symclass=sc if symmetry else None,
+        )
+        pal = jump_pallas.jump_steps_with_dp(
+            px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=n,
+            interpret=interpret, symmetry=symmetry, symclass=sc,
+        )
+        label = f"pallas lockstep [{platform}, sym={symmetry}]"
+        exact = {0: "px", 2: "d", 3: "count", 4: "dpx", 5: "dpd", 6: "step"}
+        if symmetry:
+            exact[7] = "symclass"
+        sub_ok = True
+        for idx, name in exact.items():
+            if not np.array_equal(np.asarray(ref[idx]), np.asarray(pal[idx])):
+                sub_ok = False
+                if verbose:
+                    print(f"Check: {label} MISMATCH in {name}")
+        ry = limbs_to_ints_fast(np.asarray(ref[1]))
+        qy = limbs_to_ints_fast(np.asarray(pal[1]))
+        for i in range(n):
+            if int(ry[i]) % P != int(qy[i]) % P:
+                sub_ok = False
+                if verbose:
+                    print(f"Check: {label} MISMATCH in py at lane {i}")
+                break
+        # the window must have exercised the slot-overflow path
+        cnt = np.asarray(ref[3])
+        if int(cnt.max(initial=0)) <= 2 and verbose:
+            print(f"Check: {label} WARNING: no slot overflow exercised")
+        if sub_ok and verbose:
+            hits = int((cnt > 0).sum())
+            print(
+                f"Check: {label} OK "
+                f"({n} lanes x {nb_run} steps, {hits} DP lanes, "
+                f"max hits/lane {int(cnt.max(initial=0))})"
+            )
+        ok = ok and sub_ok
+    return ok
+
+
 def run_self_check(verbose: bool = True) -> bool:
     """-check: arithmetic known-answer tests + walk lockstep.
 
@@ -272,6 +363,19 @@ def run_self_check(verbose: bool = True) -> bool:
     else:
         if verbose:
             print("Check: walk lockstep OK (64 lanes x 8 steps)")
+
+    # the kernel actually shipped to the device (Mosaic-lowered on TPU)
+    # vs the XLA reference, production-shaped window.  Interpret mode
+    # (non-TPU) pays a Python-per-step cost, so it runs a smaller but
+    # still overflow-exercising window.
+    import jax as _jax
+
+    if _jax.devices()[0].platform == "tpu":
+        ok = pallas_lockstep_check(verbose=verbose) and ok
+    else:
+        ok = pallas_lockstep_check(
+            n=256, nb_run=24, dp_size=3, verbose=verbose
+        ) and ok
 
     if verbose:
         print("Check: ALL OK" if ok else "Check: FAILURES DETECTED")

@@ -48,6 +48,9 @@ class SolverOptions:
     save_period: int = 60
     save_kangaroo: bool = False
     split_work_file: bool = False
+    # -wt: max seconds to wait for a still-running background save
+    # before skipping this interval (reference wtimeout, default 3000ms)
+    save_timeout: float = 3.0
     # Equivalence-class walk over {P, -P}: ~sqrt(2) fewer expected ops
     # (reference USE_SYMMETRY, off by default -- Constants.h:24-25)
     symmetry: bool = False
@@ -472,6 +475,7 @@ class KangarooSolver:
 
         self.stats.time = self.offset_time + time.time() - t0
         self.last_state = (px, py, d)
+        self.finish_save()
         if result is not None and opts.out_file:
             self._output(result)
         return result
@@ -498,15 +502,56 @@ class KangarooSolver:
             f.write(f"       Priv: 0x{res.private_key:X} \n")
 
     def _save_work(self, px, py, d, elapsed):
+        """Checkpoint without stalling the walk.
+
+        The write runs on a background thread against a fuzzy snapshot
+        (see backup.write_hash_table); the solver thread only pays the
+        device->host copy of the herd.  The reference instead pauses
+        all workers for the whole write behind saveRequest/saveMutex
+        (Backup.cpp:449-472); -wt keeps its meaning as the bound on
+        waiting for a save that is still running.
+        """
+        import threading
+
         from ..io import backup
 
-        backup.save_work(
-            self.opts.work_file,
-            self,
-            np.asarray(px), np.asarray(py), np.asarray(d),
-            self.stats.count,
-            self.offset_time + elapsed,
-            save_kangaroo=self.opts.save_kangaroo,
-        )
+        prev = getattr(self, "_save_thread", None)
+        if prev is not None and prev.is_alive():
+            prev.join(timeout=self.opts.save_timeout)
+            if prev.is_alive():
+                if not self.opts.quiet:
+                    print("\nSaveWork timeout !")
+                return
+        px_np, py_np, d_np = np.asarray(px), np.asarray(py), np.asarray(d)
+        count = self.stats.count
+        total_time = self.offset_time + elapsed
+        table = self.hash_table
+        name = self.opts.work_file
         if self.opts.split_work_file:
-            self.hash_table.reset()
+            # -wsplit: swap in a fresh table NOW (solver thread) and
+            # write the frozen one -- a consistent snapshot; offline
+            # merge recovers cross-file collisions (README.md:152-196).
+            # Files are timestamped like the reference (Timer::getTS).
+            self.hash_table = HashTable()
+            name = name + "_" + time.strftime("%d%b%y_%H%M%S")
+
+        def write():
+            backup.save_work(
+                name,
+                self,
+                px_np, py_np, d_np,
+                count,
+                total_time,
+                save_kangaroo=self.opts.save_kangaroo,
+                table=table,
+            )
+
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        self._save_thread = t
+
+    def finish_save(self):
+        """Join an in-flight background save (end of solve / tests)."""
+        t = getattr(self, "_save_thread", None)
+        if t is not None and t.is_alive():
+            t.join()

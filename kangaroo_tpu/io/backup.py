@@ -118,11 +118,18 @@ def write_header(f, head_type: int, solver=None, total_count: int = 0,
 
 
 def write_hash_table(f, ht: HashTable, max_item_fn=ref_max_item):
-    bucket_items: List[List[Tuple[int, int]]] = [None] * HASH_SIZE
-    for h, bucket in ht.buckets.items():
-        bucket_items[h] = sorted(bucket.items())
+    """Serialize the table in reference bucket order.
+
+    Safe against concurrent add_dp from the solver thread (background
+    saves): buckets are looked up with .get and materialized with
+    sorted(items()) -- both single C calls, atomic under the GIL -- so
+    each bucket is internally consistent; entries inserted mid-save
+    land in the file or the next save (fuzzy snapshot, same loss class
+    as the reference's save interval).
+    """
     for h in range(HASH_SIZE):
-        items = bucket_items[h] or []
+        bucket = ht.buckets.get(h)
+        items = sorted(bucket.items()) if bucket else []
         _w_u32(f, len(items))
         _w_u32(f, max_item_fn(len(items)))
         for x128, d128 in items:
@@ -153,12 +160,15 @@ def save_work(
     total_count: int,
     total_time: float,
     save_kangaroo: bool = False,
+    table: Optional[HashTable] = None,
 ):
     """Full HEADW work file (reference: SaveWork, Backup.cpp:449-572).
 
     px/py are (16, N) limb arrays, d the (8, N) device distances; the
     on-file distance is the mod-n value (wild offset removed), exactly
-    like GPUEngine::GetKangaroos (GPUEngine.cu:474-480).
+    like GPUEngine::GetKangaroos (GPUEngine.cu:474-480).  `table`
+    overrides solver.hash_table (background saves snapshot the table
+    reference at save-request time).
     """
     from ..utils.intutils import limbs_to_ints_fast
 
@@ -166,7 +176,7 @@ def save_work(
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         write_header(f, HEADW, solver, total_count, total_time, symmetry=sym)
-        write_hash_table(f, solver.hash_table)
+        write_hash_table(f, table if table is not None else solver.hash_table)
         if save_kangaroo and px is not None:
             n = px.shape[1]
             _w_u64(f, n)
@@ -433,9 +443,94 @@ def rebuild_from_d128(
     )
 
 
-def work_info(path: str) -> str:
-    """-winfo: header + hash table stats (reference: Backup.cpp:574-652)."""
+def get_time_str(s: float) -> str:
+    """Duration formatting of the reference (Thread.cpp GetTimeStr)."""
+    nb_day = s / 86400.0
+    if nb_day >= 1:
+        nb_year = nb_day / 365.0
+        if nb_year > 1:
+            if nb_year < 5:
+                return f"{nb_year:.1f}y"
+            return f"{nb_year:g}y"
+        return f"{nb_day:.1f}d"
+    it = int(s)
+    h, m, sec = it // 3600, (it % 3600) // 60, it % 60
+    if h == 0:
+        if m == 0:
+            return f"{sec:02d}s"
+        return f"{m:02d}:{sec:02d}"
+    return f"{h:02d}:{m:02d}:{sec:02d}"
+
+
+def _scan_bucket_counts(path: str, off: int, n_buckets: int):
+    """Per-bucket (nbItem, maxItem) without reading entries.
+
+    Native when available (the reference's SeekNbItem analog -- scans a
+    100 GB-class file by seeking); Python fallback otherwise.
+    """
+    from .. import native as native_mod
+
+    lib = native_mod.get_lib()
+    if lib is not None:
+        import ctypes
+
+        nb = (ctypes.c_uint32 * n_buckets)()
+        mx = (ctypes.c_uint32 * n_buckets)()
+        total = lib.kt_scan_buckets(path.encode(), off, n_buckets, nb, mx)
+        if total >= 0:
+            return (
+                np.frombuffer(nb, dtype=np.uint32).copy(),
+                np.frombuffer(mx, dtype=np.uint32).copy(),
+            )
+    nb = np.zeros(n_buckets, dtype=np.uint32)
+    mx = np.zeros(n_buckets, dtype=np.uint32)
     with open(path, "rb") as f:
+        f.seek(off)
+        for h in range(n_buckets):
+            nb[h] = _r_u32(f)
+            mx[h] = _r_u32(f)
+            f.seek(32 * int(nb[h]), os.SEEK_CUR)
+    return nb, mx
+
+
+def _ht_info_lines(nb: np.ndarray, mx: np.ndarray):
+    """HashTable::PrintInfo fields from per-bucket counts
+    (HashTable.cpp:470-511 + GetSizeInfo :326-357)."""
+    count = int(nb.sum())
+    avg = count / HASH_SIZE
+    max_i = int(np.argmax(nb))
+    min_i = int(np.argmin(nb))
+    sdev = float(np.sqrt(np.mean((avg - nb.astype(np.float64)) ** 2)))
+    # reference struct sizes: HASH_ENTRY 16 B, ENTRY* 8 B, ENTRY 32 B
+    total_b = 16 * HASH_SIZE + int(8 * mx.astype(np.int64).sum()) + 32 * count
+    used_b = 8 * HASH_SIZE + 32 * count
+    unit = "MB"
+    total_u = total_b / (1024.0 * 1024.0)
+    used_u = used_b / (1024.0 * 1024.0)
+    for u in ("GB", "TB"):
+        if total_u > 1024:
+            total_u /= 1024
+            used_u /= 1024
+            unit = u
+    return [
+        f"DP Size   : {used_u:.1f}/{total_u:.1f}{unit}",
+        f"DP Count  : {count} 2^{math.log2(count) if count else 0:.3f}",
+        f"HT Max    : {int(nb[max_i])} [@ {max_i:06X}]",
+        f"HT Min    : {int(nb[min_i])} [@ {min_i:06X}]",
+        f"HT Avg    : {avg:.2f}",
+        f"HT SDev   : {sdev:.2f}",
+    ]
+
+
+def work_info(path: str) -> str:
+    """-winfo: header + hash table stats, for plain work files and
+    256-partition directories (reference: WorkInfo, Backup.cpp:574-652
+    incl. the IsDir dispatch)."""
+    from ..constants import H_PER_PART, MERGE_PART
+
+    is_dir = os.path.isdir(path)
+    header_path = os.path.join(path, "header") if is_dir else path
+    with open(header_path, "rb") as f:
         head, version = read_header(f)
         lines = []
         if head == HEADW:
@@ -446,29 +541,55 @@ def work_info(path: str) -> str:
             ky = _r_int(f, 32)
             count = _r_u64(f)
             ttime = _r_f64(f)
+            key = curve.PointA(kx, ky)
+            if not curve.on_curve(key):
+                raise ValueError(
+                    "WorkInfo: key1 does not lie on elliptic curve"
+                )
             lines.append(f"Version   : {version}")
             lines.append(f"DP bits   : {dp}")
             lines.append(f"Start     : {range_start:X}")
             lines.append(f"Stop      : {range_end:X}")
             lines.append(
-                "Key       : "
-                + curve.get_public_key_hex(curve.PointA(kx, ky), True)
+                "Key       : " + curve.get_public_key_hex(key, True)
             )
-            lines.append(f"Count     : {count} 2^{math.log2(count) if count else 0:.3f}")
-            lines.append(f"Time      : {ttime:.1f}s")
-            ht = read_hash_table(f)
-            nb, mn, mx, avg = ht.stats()
-            lines.append(f"DP Count  : {nb} 2^{math.log2(nb) if nb else 0:.3f}")
-            lines.append(f"HT Max    : {mx} [@ ...]")
-            lines.append(f"HT Min    : {mn} [@ ...]")
-            lines.append(f"HT Avg    : {avg:.2f}")
-            raw = f.read(8)  # absent in merged files (Merge.cpp:194-214)
-            nbk = int.from_bytes(raw, "little") if len(raw) == 8 else 0
-            lines.append(f"Kangaroos : {nbk} 2^{math.log2(nbk) if nbk else 0:.3f}")
+            lines.append(
+                f"Count     : {count} "
+                f"2^{math.log2(count) if count else 0:.3f}"
+            )
+            lines.append(f"Time      : {get_time_str(ttime)}")
+            if is_dir:
+                from ..io import merge as merge_mod
+
+                parts = [
+                    _scan_bucket_counts(
+                        merge_mod.part_name(path, p), 0, H_PER_PART
+                    )
+                    for p in range(MERGE_PART)
+                ]
+                nb = np.concatenate([a for a, _ in parts])
+                mxs = np.concatenate([b for _, b in parts])
+                nbk = 0
+            else:
+                table_off = f.tell()
+                nb, mxs = _scan_bucket_counts(path, table_off, HASH_SIZE)
+                f.seek(
+                    table_off + 8 * HASH_SIZE + 32 * int(nb.sum())
+                )
+                raw = f.read(8)  # absent in merged files (Merge.cpp:194)
+                nbk = int.from_bytes(raw, "little") if len(raw) == 8 else 0
+            lines.extend(_ht_info_lines(nb, mxs))
+            lines.append(
+                f"Kangaroos : {nbk} "
+                f"2^{math.log2(nbk) if nbk else 0:.3f}"
+            )
         elif head in (HEADK, HEADKS):
             nb = _r_u64(f)
             kind = "compressed kangaroo" if head == HEADKS else "kangaroo"
-            lines.append(f"{kind} only file [2^{math.log2(nb) if nb else 0:.2f} kangaroos]")
+            lines.append(
+                f"{kind} only file "
+                f"[2^{math.log2(nb) if nb else 0:.2f} kangaroos]"
+            )
         else:
             raise ValueError(f"not a work file (head 0x{head:08X})")
     return "\n".join(lines)

@@ -67,6 +67,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.kt_count_buckets.argtypes = [
             ctypes.c_char_p, ctypes.c_longlong, ctypes.c_uint32
         ]
+        lib.kt_scan_buckets.restype = ctypes.c_longlong
+        lib.kt_scan_buckets.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
         _lib = lib
         return _lib
 

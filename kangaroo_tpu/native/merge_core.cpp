@@ -129,6 +129,36 @@ long long kt_merge_buckets(const char* f1_path, long long off1,
     return total;
 }
 
+// Per-bucket scan: fill nb_out[i] / max_out[i] with each bucket's
+// nbItem / maxItem without reading entries (hashtable stats for
+// -winfo on large files; the reference's SeekNbItem analog,
+// HashTable.cpp:418-441).  Returns total DPs or -1 on IO error.
+long long kt_scan_buckets(const char* path, long long off, uint32_t n_buckets,
+                          uint32_t* nb_out, uint32_t* max_out) {
+    FILE* f = fopen(path, "rb");
+    if (!f || fseek(f, (long)off, SEEK_SET) != 0) {
+        if (f) fclose(f);
+        return -1;
+    }
+    long long total = 0;
+    for (uint32_t h = 0; h < n_buckets; ++h) {
+        uint32_t nb, mx;
+        if (!read_u32(f, &nb) || !read_u32(f, &mx)) {
+            total = -1;
+            break;
+        }
+        nb_out[h] = nb;
+        max_out[h] = mx;
+        if (fseek(f, 32L * nb, SEEK_CUR) != 0) {
+            total = -1;
+            break;
+        }
+        total += nb;
+    }
+    fclose(f);
+    return total;
+}
+
 // Re-count helper: scan n_buckets from a file, returning the DP total
 // (used by -winfo style tooling on big files without Python loops).
 long long kt_count_buckets(const char* path, long long off, uint32_t n_buckets) {

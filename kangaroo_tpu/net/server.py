@@ -70,6 +70,10 @@ class DPServer:
         self.end_of_search = False
         self.result: Optional[SolveResult] = None
         self.key_idx = 0
+        # background save machinery: clients see SERVER_BACKUP while a
+        # save is in flight (reference saveRequest, Network.cpp:267)
+        self.saving = False
+        self._save_thread: Optional[threading.Thread] = None
 
         self.range_start = cfg.range_start
         self.range_end = cfg.range_end
@@ -83,8 +87,11 @@ class DPServer:
 
     # -- status ----------------------------------------------------------
     def status(self) -> int:
+        """GetServerStatus semantics (Network.cpp:260-272)."""
         if self.end_of_search:
             return proto.SERVER_END
+        if self.saving:
+            return proto.SERVER_BACKUP
         return proto.SERVER_OK
 
     # -- client handler (one thread per connection) -----------------------
@@ -284,24 +291,49 @@ class DPServer:
                     self.dead += 1
 
     def _save_work(self) -> None:
+        """Background checkpoint (reference: SaveServerWork).
+
+        The write runs on its own thread so the accept/process loop
+        keeps serving; clients polling STATUS see SERVER_BACKUP while
+        the save is in flight (Network.cpp:267).  -wsplit swaps in a
+        fresh table synchronously (consistent snapshot); plain saves
+        write a fuzzy snapshot (see backup.write_hash_table).
+        """
+        if self._save_thread is not None and self._save_thread.is_alive():
+            return  # previous save still running; try next interval
         from ..io import backup as backup_mod
         from ..io.merge import WorkHeader, write_work_header
 
         name = self.work_file
+        table = self.hash_table
         if self.split_work_file:
             name = self.work_file + "_" + time.strftime("%d%b%y_%H%M%S")
+            self.hash_table = HashTable()
         hdr = WorkHeader(
             self.dp_size, self.range_start, self.range_end,
             self.cfg.keys[self.key_idx], 0, 0.0,
         )
-        tmp = name + ".tmpsave"
-        with open(tmp, "wb") as f:
-            write_work_header(f, hdr)
-            backup_mod.write_hash_table(f, self.hash_table)
-            f.write(struct.pack("<Q", 0))
-        os.replace(tmp, name)
-        if self.split_work_file:
-            self.hash_table.reset()
+
+        def write():
+            try:
+                tmp = name + ".tmpsave"
+                with open(tmp, "wb") as f:
+                    write_work_header(f, hdr)
+                    backup_mod.write_hash_table(f, table)
+                    f.write(struct.pack("<Q", 0))
+                os.replace(tmp, name)
+            finally:
+                self.saving = False
+
+        self.saving = True
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        self._save_thread = t
+
+    def finish_save(self) -> None:
+        t = self._save_thread
+        if t is not None and t.is_alive():
+            t.join()
 
     def _print_status(self, elapsed: float) -> None:
         n_items = self.hash_table.n_items()
@@ -327,9 +359,38 @@ class DPServer:
             print(f"Kangaroo server listening on port {self.port} (DP{self.dp_size})")
 
         t0 = time.time()
-        last_save = t0
-        last_proc = t0
         self._srv = srv
+
+        # Dedicated DP-processing thread (reference: ProcessServer runs
+        # on its own thread, Thread.cpp:165-234): drains the receive
+        # cache into the hash table, resolves collisions, prints status
+        # and triggers periodic saves -- the accept loop below never
+        # blocks on table work, so hundreds of clients keep connecting
+        # while inserts run.
+        def process_loop():
+            last_save = t0
+            last_proc = t0
+            while not self.end_of_search:
+                if max_seconds is not None and time.time() - t0 > max_seconds:
+                    break
+                time.sleep(
+                    max(0.0, self.process_period - (time.time() - last_proc))
+                )
+                self._process_once()
+                now = time.time()
+                if not quiet:
+                    self._print_status(now - t0)
+                last_proc = now
+                if (
+                    self.work_file
+                    and now - last_save > self.save_period
+                    and not self.end_of_search
+                ):
+                    self._save_work()
+                    last_save = now
+
+        proc_t = threading.Thread(target=process_loop, daemon=True)
+        proc_t.start()
         try:
             while not self.end_of_search:
                 if max_seconds is not None and time.time() - t0 > max_seconds:
@@ -345,19 +406,8 @@ class DPServer:
                     t.start()
                 except socket.timeout:
                     pass
-                now = time.time()
-                if now - last_proc >= self.process_period:
-                    self._process_once()
-                    if not quiet:
-                        self._print_status(now - t0)
-                    last_proc = now
-                if (
-                    self.work_file
-                    and now - last_save > self.save_period
-                    and not self.end_of_search
-                ):
-                    self._save_work()
-                    last_save = now
+            self.end_of_search = True  # stop the process thread on timeout
+            proc_t.join(timeout=2 * self.process_period + 5)
             self._process_once()
         finally:
             srv.close()

@@ -252,3 +252,50 @@ def test_cpp_client_solves_via_python_server(ref_bin, tmp_path):
             proc.kill()
             proc.wait()
         th.join(timeout=15)
+
+
+def _winfo_fields(text):
+    """Parse 'Name : value' lines, normalizing whitespace."""
+    out = {}
+    for line in text.splitlines():
+        if ":" in line:
+            k, _, v = line.partition(":")
+            k = k.strip()
+            if k in ("Kangaroo v2.2", "Loading"):
+                continue
+            out[k.strip()] = " ".join(v.split())
+    return out
+
+
+def test_winfo_output_matches_cpp(ref_bin, tmp_path):
+    """-winfo field parity with the stock binary on the same file
+    (WorkInfo, Backup.cpp:574-652 + HashTable::PrintInfo)."""
+    path = str(tmp_path / "a.work")
+    make_work_file(path, range(4000, 4300), count=123456, t=3725.0)
+    code, out = run_bin(ref_bin, ["-winfo", path])
+    assert code == 0, out
+    ours = _winfo_fields(backup.work_info(path))
+    theirs = _winfo_fields(out)
+    for k in ("Version", "DP bits", "Start", "Stop", "Key", "Count",
+              "Time", "DP Size", "DP Count", "HT Max", "HT Min",
+              "HT Avg", "HT SDev"):
+        assert k in theirs, (k, out)
+        assert ours.get(k) == theirs[k], (k, ours.get(k), theirs[k])
+
+
+def test_winfo_partition_dir_matches_cpp(ref_bin, tmp_path):
+    """-winfo on a 256-partition directory (ref dispatches on IsDir)."""
+    wf = str(tmp_path / "a.work")
+    make_work_file(wf, range(5000, 5500), count=777, t=62.0)
+    pdir = str(tmp_path / "parts")
+    merge.create_empty_part_work(pdir)
+    ok, res, dead = merge.merge_work_part(pdir, wf)
+    assert ok and res is None
+    code, out = run_bin(ref_bin, ["-winfo", pdir])
+    assert code == 0, out
+    ours = _winfo_fields(backup.work_info(pdir))
+    theirs = _winfo_fields(out)
+    for k in ("DP bits", "Count", "DP Count", "HT Max", "HT Min",
+              "HT Avg", "HT SDev", "DP Size"):
+        assert k in theirs, (k, out)
+        assert ours.get(k) == theirs[k], (k, ours.get(k), theirs[k])

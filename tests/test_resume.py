@@ -7,6 +7,8 @@ symmetric (-sym) work files round-trip exactly (a marker keeps them
 apart from reference-compatible plain files).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -239,3 +241,55 @@ def test_dp_loss_accounting():
     # dp_size 0: every step is a DP -> 16 hits per lane per window,
     # 14 lost per lane per drained window
     assert s.stats.lost > 0
+
+
+def test_background_save_does_not_stall_and_roundtrips(tmp_path):
+    """Saves run off the solve loop (reference pauses workers for the
+    whole write, Backup.cpp:449-472; we snapshot + write in a thread)
+    and the file still loads clean while solving continued."""
+    wf = str(tmp_path / "bg.work")
+    cfg = ProblemConfig(START, START + WIDTH, [curve.mul(K_PRIV)])
+    opts = SolverOptions(
+        nb_kangaroo=64, dp_size=2, nb_run=8, seed=5, n_devices=1,
+        quiet=True, work_file=wf, save_period=0, save_kangaroo=True,
+    )
+    s = KangarooSolver(cfg, opts)
+    s.solve(0, max_ticks=8)
+    s.finish_save()
+    assert os.path.exists(wf)
+    lw = backup.load_work(wf)
+    assert lw.nb_kangaroo == 64
+    # the saved file must resume and solve
+    s2 = make_resumed(lw, nk=64)
+    res = s2.solve(0, max_ticks=4000)
+    assert res is not None and res.private_key == K_PRIV
+
+
+def test_wsplit_files_merge_to_solution(tmp_path):
+    """-wsplit: each save freezes the table into a timestamped file and
+    continues fresh; merging the splits plus a final save recovers the
+    collision offline (README.md:152-196)."""
+    import glob
+
+    from kangaroo_tpu.io.merge import merge_dir
+
+    wdir = tmp_path / "splits"
+    wdir.mkdir()
+    wf = str(wdir / "w.work")
+    cfg = ProblemConfig(START, START + WIDTH, [curve.mul(K_PRIV)])
+    opts = SolverOptions(
+        nb_kangaroo=64, dp_size=2, nb_run=8, seed=5, n_devices=1,
+        quiet=True, work_file=wf, save_period=0, split_work_file=True,
+    )
+    s = KangarooSolver(cfg, opts)
+    res = s.solve(0, max_ticks=4000)
+    s.finish_save()
+    splits = glob.glob(str(wdir / "w.work_*"))
+    if res is None:
+        # no in-memory collision: it must be recoverable by merging
+        assert splits, "no split files written"
+        px, py, d = s.last_state
+        backup.save_work(wf, s, None, None, None, s.stats.count,
+                         s.stats.time)
+        ok, res, dead = merge_dir(str(wdir), str(tmp_path / "m.work"))
+    assert res is not None and res.private_key == K_PRIV
