@@ -231,7 +231,10 @@ def addmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     coordinate is canonicalized (see `canonicalize`), mirroring how the
     reference keeps values reduced only where DP/jump semantics need it.
     """
-    t = _carry_exact(_fit(a, 17) + _fit(b, 17), 17)  # limbs < 2^17 OK
+    # one relaxed pass: limbs < 2^16+1, top exact by value preservation;
+    # _fold_small_arr accepts relaxed 16-row input (it starts with a
+    # full carry over 17 rows)
+    t = _carry1(_fit(a, 17) + _fit(b, 17), 17)
     return _fold_small_arr(t[:16], t[16])
 
 
@@ -252,8 +255,8 @@ def submod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     carries is a - b + 2p < 2^258, i.e. t[16] <= 3, folded exactly.
     """
     t = a + _const_cols(TWOP_LOW_LIMBS, a) + (_M16 ^ b) + _one_row0(a)  # < 2^18
-    t = _carry1(t, 17)            # limbs < 2^16 + 4 -> KS-safe
-    t = _carry_exact(t, 17)
+    t = _carry1(t, 17)            # limbs < 2^16 + 4 (relaxed is fine:
+    # _fold_small_arr re-carries over 17 rows before its second fold)
     return _fold_small_arr(t[:16], t[16])
 
 
@@ -269,22 +272,26 @@ def negmod(a: jnp.ndarray) -> jnp.ndarray:
 # ----------------------------------------------------------------------
 
 def mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Schoolbook 256x256 multiply -> (32, N) relaxed columns (< 2^21).
+    """Schoolbook multiply -> (Ra+Rb, N) relaxed columns (< 2^22).
 
-    Whole-array formulation: partial product i is the (16, N) vector
+    Whole-array formulation: partial product i is the (Rb, N) vector
     b * a_i, split into 16-bit halves (the only operation that must
-    happen per product at full precision), then the 16 shifted partial
+    happen per product at full precision), then the shifted partial
     products are combined with a balanced adder tree whose operand
-    widths grow from 17 to 32 rows -- most adds run at half the width
-    of a naive 32-row accumulator.  Limb axis = sublanes; ~100 HLO ops.
+    widths grow from Rb+1 to Ra+Rb rows -- most adds run at half the
+    width of a naive full-width accumulator.  Operands may carry a
+    17th top row (relaxed chain values < 2^259 from reduce_512
+    relaxed_out); all limbs must be < 2^16.
     """
+    ra, rb = a.shape[0], b.shape[0]
+    out_rows = ra + rb
     terms = []
-    for i in range(16):
-        t = b * a[i][None, :]          # (16, N) full 32-bit products
+    for i in range(ra):
+        t = b * a[i][None, :]          # (Rb, N) full 32-bit products
         lo = t & _M16
         hi = t >> 16
-        # value_i = (lo + hi*2^16) * 2^(16*i); keep as 17 rows < 2^17
-        terms.append(_fit(lo, 17) + _down(hi, 1, 17))
+        # value_i = (lo + hi*2^16) * 2^(16*i); keep as Rb+1 rows < 2^17
+        terms.append(_fit(lo, rb + 1) + _down(hi, 1, rb + 1))
     # Balanced adder tree.  terms[j] at level with row-gap `gap` holds
     # the partial sum whose absolute placement is gap*j rows; adjacent
     # terms are combined with a relative down-shift of `gap` rows.
@@ -295,14 +302,14 @@ def mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             if i + 1 < len(terms):
                 lo_t = terms[i]
                 hi_t = terms[i + 1]
-                rows = min(hi_t.shape[0] + gap, 32)
+                rows = min(hi_t.shape[0] + gap, out_rows)
                 nxt.append(_fit(lo_t, rows) + _down(hi_t, gap, rows))
             else:
                 nxt.append(terms[i])
         terms = nxt
         gap *= 2
-    # limb magnitudes: level k sums <= 2^(17+k) <= 2^21 for k=4  < 2^32
-    return _fit(terms[0], 32)
+    # limb magnitudes: level k sums <= 2^(17+k) <= 2^22 for k=5 < 2^32
+    return _fit(terms[0], out_rows)
 
 
 def sqr_columns(a: jnp.ndarray) -> jnp.ndarray:
@@ -312,26 +319,62 @@ def sqr_columns(a: jnp.ndarray) -> jnp.ndarray:
     return mul_columns(a, a)
 
 
-def reduce_512(cols: jnp.ndarray) -> jnp.ndarray:
-    """Reduce (32, N) relaxed columns (< 2^22) mod p to canonical form.
+def reduce_512(
+    cols: jnp.ndarray,
+    sub: Sequence[jnp.ndarray] = (),
+    relaxed_out: bool = False,
+) -> jnp.ndarray:
+    """Reduce (R, N) relaxed columns (< 2^22, R <= 34) mod p.
 
     Fold semantics of the reference's _ModMult (IntMod.cpp:873-950):
     H*2^256 === H*(2^32 + 977) (mod p), applied twice, then a small
     fold + conditional subtract.
+
+    `sub`: optional subtrahends (each any relaxed value < 2^256);
+    returns (value(cols) - sum(sub)) mod p.  The subtraction is fused
+    into the second fold at the cost of a few row-adds -- each fused
+    subtrahend replaces a full submod in the walk (x3 = lam^2-px-qx,
+    y3 = lam*(qx-x3)-qy).  Per subtrahend the fold-2 accumulator gains
+    2p + (~b) + 1 (= 2p - b >= 0 since b < 2^256 < 2p): limb growth
+    2^18-ish on top of fold-2's < 2^27 rows, value growth < s*2^257 on
+    top of < 2^258 -- both far inside the 17-row/2^272 carry budget.
+
+    `relaxed_out`: skip the final small fold and return 17 rows
+    (16-bit limbs, value < 2^260, top row tiny) -- chain form for
+    values that feed another multiply (the batch-inversion tree and
+    lam), saving the 2 extra carry passes of _fold_small_arr.
     """
+    rows = cols.shape[0]
     lo = cols[:16]
     hi = cols[16:]
+    w = max(18, (rows - 16) + 2)
     # Fold 1: < 2^22 + 977*2^22 + 2^22 < 2^32
-    f = _fit(lo, 18) + _fit(hi * jnp.uint32(C_LOW), 18) + _down(hi, 2, 18)
-    m = _carry_full(f, 19)
-    # Fold 2: H1 = rows 16..18 (canonical limbs)
-    h = m[16:19]
+    f = _fit(lo, w) + _fit(hi * jnp.uint32(C_LOW), w) + _down(hi, 2, w)
+    # One relaxed carry pass suffices here: fold 2 only needs the VALUE
+    # decomposition m_low + 2^256*H, and relaxed limbs (< 2^17) keep
+    # every downstream bound intact (h*977 < 2^27, g rows < 2^28, all
+    # inside _carry_full's entry contract).  Saves an exact-carry pass
+    # per multiply -- measured ~0.6% of the whole jump step each.
+    m = _carry1(f, w + 1)
+    # Fold 2: H1 = the rows beyond 2^256 (relaxed limbs)
+    h = m[16:]
     g = (
         _fit(m[:16], 17)
         + _fit(h * jnp.uint32(C_LOW), 17)
         + _down(h, 2, 17)
     )
+    for b in sub:
+        # (~b over 16 limbs) + 1 adds 2^256 - b; the (2p - 2^256) limb
+        # constant completes it to the positive offset 2p - b
+        g = (
+            g
+            + _fit(_const_cols(TWOP_LOW_LIMBS, b), 17)
+            + _fit(_M16 ^ b, 17)
+            + _fit(_one_row0(b), 17)
+        )
     g = _carry_full(g, 17)
+    if relaxed_out:
+        return g
     return _fold_small_arr(g[:16], g[16])
 
 
@@ -340,13 +383,19 @@ def canonicalize(x: jnp.ndarray) -> jnp.ndarray:
     return _cond_sub_p_arr(x)
 
 
-def mulmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a*b) mod p, relaxed (< 2^256).  Inputs any values < 2^256."""
-    return reduce_512(mul_columns(a, b))
+def mulmod(a: jnp.ndarray, b: jnp.ndarray,
+           sub: Sequence[jnp.ndarray] = (),
+           relaxed_out: bool = False) -> jnp.ndarray:
+    """(a*b - sum(sub)) mod p, relaxed (< 2^256; 17-row chain form
+    < 2^260 when relaxed_out).  Inputs: 16-row values < 2^256 or
+    17-row chain values from a relaxed_out multiply."""
+    return reduce_512(mul_columns(a, b), sub=sub, relaxed_out=relaxed_out)
 
 
-def sqrmod(a: jnp.ndarray) -> jnp.ndarray:
-    return reduce_512(sqr_columns(a))
+def sqrmod(a: jnp.ndarray, sub: Sequence[jnp.ndarray] = (),
+           relaxed_out: bool = False) -> jnp.ndarray:
+    """(a^2 - sum(sub)) mod p, relaxed."""
+    return reduce_512(sqr_columns(a), sub=sub, relaxed_out=relaxed_out)
 
 
 # ----------------------------------------------------------------------
@@ -506,7 +555,8 @@ def modinv(a: jnp.ndarray) -> jnp.ndarray:
 # Batch inversion: contiguous fold tree (Montgomery trick)
 # ----------------------------------------------------------------------
 
-def batch_inv(a: jnp.ndarray, stop: int = 1024) -> jnp.ndarray:
+def batch_inv(a: jnp.ndarray, stop: int = 1024,
+              relaxed_out: bool = False) -> jnp.ndarray:
     """Invert all N lanes with ~3 multiplies per lane + one divstep pass.
 
     Fold tree: products of first half x second half until the width
@@ -514,6 +564,11 @@ def batch_inv(a: jnp.ndarray, stop: int = 1024) -> jnp.ndarray:
     then unfold.  All slices contiguous (TPU-friendly).  Zero lanes
     yield zero (the reference's IntGroup has undefined behaviour on
     zero; the jump step never inverts zero for distinct points).
+
+    relaxed_out returns the inverses in 17-row chain form (final fold
+    skipped).  NB: measured on v5e this LOSES ~3% in the walk -- 17
+    rows pad to 3 sublane tiles -- so the walk keeps 16-row values;
+    the option remains for consumers with different tiling economics.
     """
     n = a.shape[1]
     levels = []
@@ -524,11 +579,13 @@ def batch_inv(a: jnp.ndarray, stop: int = 1024) -> jnp.ndarray:
         levels.append(cur)
         cur = mulmod(lo, hi)
     root_inv = modinv(cur)
-    for lev in reversed(levels):
+    for i, lev in enumerate(reversed(levels)):
+        last = i == len(levels) - 1
         half = lev.shape[1] // 2
         lo, hi = lev[:, :half], lev[:, half:]
-        inv_lo = mulmod(root_inv, hi)
-        inv_hi = mulmod(root_inv, lo)
+        rx = relaxed_out and last
+        inv_lo = mulmod(root_inv, hi, relaxed_out=rx)
+        inv_hi = mulmod(root_inv, lo, relaxed_out=rx)
         root_inv = jnp.concatenate([inv_lo, inv_hi], axis=1)
     return root_inv
 

@@ -92,6 +92,9 @@ def _jump_kernel(
     dpx = jnp.zeros((2 * 16, n), dtype=jnp.uint32)
     dpd = jnp.zeros((2 * 8, n), dtype=jnp.uint32)
     dstep = jnp.zeros((2, n), dtype=jnp.uint32)
+    # one fused gather per step: stack the three jump tables so a
+    # single one-hot build and one lo/hi dot pair fetch qx|qy|qd
+    jtbl = jnp.concatenate([jx, jy, jd], axis=0)  # (40, 32)
 
     def body(i, state):
         px, py, d, sc, count, dpx, dpd, dstep = state
@@ -101,9 +104,8 @@ def _jump_kernel(
             )
         else:
             jmp = px[0] & jnp.uint32(NB_JUMP - 1)
-        qx = _gather_onehot(jmp, jx)
-        qy = _gather_onehot(jmp, jy)
-        qd = _gather_onehot(jmp, jd)
+        q = _gather_onehot(jmp, jtbl)
+        qx, qy, qd = q[:16], q[16:32], q[32:40]
 
         x3, y3 = jump_ref_mod.affine_add_walk(
             px, py, qx, qy, inv_stop=min(INV_STOP, n)

@@ -77,15 +77,22 @@ def affine_add_walk(px, py, qx, qy, inv_stop: int):
     future steps only through differences mod p, so any representative
     < 2^256 yields the identical canonical-x walk.  Shared by the XLA
     reference path and the Pallas kernel so lockstep stays bit-exact.
+
+    The -px-qx / -qy subtractions are fused into the multiply reduce
+    (field.reduce_512 sub=): measured on v5e, a fused subtrahend costs
+    a few row-adds vs ~4% of the whole step for a standalone submod.
     """
     dx = field.submod(qx, px)
+    # NB: the 17-row relaxed chain form (relaxed_out=True) measured
+    # NET SLOWER here (-3%): TPU sublane tiles quantize row counts to
+    # 8, so a 17th row costs a whole extra tile in every consumer --
+    # more than the final fold it saves.  Keep 16-row values.
     inv = field.batch_inv(dx, stop=inv_stop)
     dy = field.submod(qy, py)
     lam = field.mulmod(dy, inv)
-    lam2 = field.sqrmod(lam)
-    # submod output < 2^256 < 2p, so one conditional subtract suffices
-    x3 = field.canonicalize(field.submod(field.submod(lam2, px), qx))
-    y3 = field.submod(field.mulmod(lam, field.submod(qx, x3)), qy)
+    # reduce output < 2^256 < 2p, so one conditional subtract suffices
+    x3 = field.canonicalize(field.sqrmod(lam, sub=(px, qx)))
+    y3 = field.mulmod(lam, field.submod(qx, x3), sub=(qy,))
     return x3, y3
 
 

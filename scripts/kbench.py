@@ -21,14 +21,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def barrier(out):
+    """Force completion with a host read (jax.block_until_ready does
+    NOT wait through async remote execution backends)."""
+    while isinstance(out, (tuple, list)):
+        out = out[0]
+    flat = out.reshape(-1)
+    return int(np.asarray(flat[0:1])[0])
+
+
 def timeit(fn, *args, reps=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    barrier(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    barrier(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -84,10 +93,10 @@ def main():
     try:
         from kangaroo_tpu.ops import jump_pallas
 
-        for blk in (2048, 4096, 8192):
+        for blk in (4096, 8192, 16384):
             if n % blk:
                 continue
-            for nb_run in (16, 64):
+            for nb_run in (64, 128):
                 f = jax.jit(lambda px, py, d, r=nb_run, b=blk:
                             jump_pallas.jump_steps_with_dp(
                                 px, py, d, jx, jy, jd, masks, nb_run=r, block=b))

@@ -63,6 +63,39 @@ class TestMulMod:
         want = [(x * y) % P for x, y in zip(a, b)]
         assert_relaxed(got, want)
 
+    def test_fused_subtract(self):
+        """reduce_512 sub=: (a*b - c - d) mod p fused into fold 2 (the
+        walk's x3/y3 path); subtrahends may be any relaxed value."""
+        n = 128
+        a = rand_vals(n, below=1 << 256)
+        b = rand_vals(n, below=1 << 256)
+        c = rand_vals(n, below=1 << 256)
+        d = rand_vals(n, below=1 << 256)
+        got = from_dev(field.mulmod(to_dev(a), to_dev(b),
+                                    sub=(to_dev(c), to_dev(d))))
+        assert_relaxed(got, [(x * y - u - v) % P
+                             for x, y, u, v in zip(a, b, c, d)])
+        got = from_dev(field.sqrmod(to_dev(a), sub=(to_dev(c),)))
+        assert_relaxed(got, [(x * x - u) % P for x, u in zip(a, c)])
+
+    def test_fused_subtract_edges(self):
+        ev = [0, (1 << 256) - 1, P, P - 1, 1, (1 << 256) - 977]
+        m = len(ev)
+        big = to_dev([P - 1] * m)
+        zero = to_dev([0] * m)
+        c = to_dev(ev)
+        d = to_dev(list(reversed(ev)))
+        got = from_dev(field.mulmod(big, big, sub=(c, d)))
+        assert_relaxed(
+            got,
+            [((P - 1) * (P - 1) - u - v) % P
+             for u, v in zip(ev, reversed(ev))],
+        )
+        got = from_dev(field.mulmod(zero, zero, sub=(c, d)))
+        assert_relaxed(
+            got, [(-u - v) % P for u, v in zip(ev, reversed(ev))]
+        )
+
     def test_square(self):
         a = rand_vals(256) + edge_vals()
         got = from_dev(field.sqrmod(to_dev(a)))
