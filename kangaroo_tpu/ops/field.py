@@ -187,13 +187,17 @@ def _embed_c(top: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fold_small_arr(x16: jnp.ndarray, top: jnp.ndarray) -> jnp.ndarray:
-    """Fold value = x16 + top*2^256 (top < 2^16) mod p -> < 2^256.
+    """Fold value = x16 + top*2^256 mod p -> < 2^256.
 
-    Same lemma as the reference fold (IntMod.cpp:873-950 semantics): if
-    the first fold carries out of 2^256, the remaining low part is
-    tiny, so the second fold cannot carry again.
+    Contract: x16 limbs and (x16[0] + 977*top) must stay <= 2^17 - 2
+    (the packed-carry entry bound) -- every caller has top <= ~2^6 on
+    relaxed sub-2^17 limbs, so the sum goes straight into one exact
+    carry with no relaxed pre-pass.  Same lemma as the reference fold
+    (IntMod.cpp:873-950 semantics): if the first fold carries out of
+    2^256, the remaining low part is tiny, so the second fold cannot
+    carry again.
     """
-    y = _carry_full(_fit(x16, 17) + _fit(_embed_c(top), 17), 17)
+    y = _carry_exact(_fit(x16, 17) + _fit(_embed_c(top), 17), 17)
     top2 = y[16]
     z = y[:16] + _embed_c(top2)   # limbs < 2^16 + 977 < 2^17
     return _carry_exact(z, 16)
@@ -313,10 +317,48 @@ def mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def sqr_columns(a: jnp.ndarray) -> jnp.ndarray:
-    """Squaring columns.  With array-level ops the symmetric shortcut
-    saves no row-operations (rows, not limb products, are the unit), so
-    squaring reuses the multiply."""
-    return mul_columns(a, a)
+    """Squaring columns via the symmetric (triangular) shortcut.
+
+    Partial product i is the TRIANGULAR slice a[i:] * a_i (placed at
+    row 2i, uniform gap 2 for the balanced tree); summing them gives
+    S = sum_{i<=j} a_i a_j 2^16(i+j).  The true square's columns are
+    2S - D where D holds the diagonal a_i^2 at rows 2i (each counted
+    twice in 2S, once in the result), and 2S_k >= D_k per column since
+    2S contains D.  Multiply/split work drops from 16 full rows per
+    partial to a triangle -- measured ~1/3 cheaper than mul_columns.
+    Only for 16-row operands; 17-row chain values fall back.
+    """
+    if a.shape[0] != 16:
+        return mul_columns(a, a)
+    out_rows = 32
+    terms = []
+    for i in range(16):
+        t = a[i:] * a[i][None, :]      # (16-i, N) full 32-bit products
+        lo = t & _M16
+        hi = t >> 16
+        rows = min(17 - i, out_rows)
+        terms.append(_fit(lo, rows) + _down(hi, 1, rows))
+    gap = 2                            # term i sits at row 2i
+    while len(terms) > 1:
+        nxt = []
+        for i in range(0, len(terms), 2):
+            if i + 1 < len(terms):
+                lo_t = terms[i]
+                hi_t = terms[i + 1]
+                rows = min(max(lo_t.shape[0], hi_t.shape[0] + gap), out_rows)
+                nxt.append(_fit(lo_t, rows) + _down(hi_t, gap, rows))
+            else:
+                nxt.append(terms[i])
+        terms = nxt
+        gap *= 2
+    s = _fit(terms[0], out_rows)       # columns < 16*2^17 = 2^21
+    # diagonal: a_i^2 split lo/hi, interleaved to rows 2i / 2i+1
+    d2 = a * a
+    diag = jnp.stack([d2 & _M16, d2 >> 16], axis=1).reshape(
+        out_rows, a.shape[1]
+    )
+    # 2S - D: per-column subtraction is safe (2S contains D twice)
+    return (s << 1) - diag
 
 
 def reduce_512(
@@ -405,30 +447,35 @@ def sqrmod(a: jnp.ndarray, sub: Sequence[jnp.ndarray] = (),
 def _matmul_fg(u, v, q, r, f, g):
     """Apply the divstep transition matrix to the full f,g bignums.
 
-    f,g: int32 arrays (17, N): limbs 0..15 in [0,2^16), limb 16 signed.
-    Returns new (f, g), each (u*f + v*g) >> 14 (exact division).
+    f,g: int32 arrays (17, N) in RELAXED SIGNED limb form: the limbs
+    represent the value as sum(l_k * 2^16k) with rows 0..15 in
+    (-1, 2^16+5) and a wider signed top limb -- no per-round exact
+    normalization.  Returns new (f, g) = (u*f + v*g) >> 14 (exact
+    division) in the same form.
 
-    Array-level: the limb multiplies, the shift, and (via lane
-    concatenation) both carry chains run as whole-array ops; only the
-    17-step signed carry recurrence stays sequential.
+    Everything is value-exact on relaxed limbs: one signed relaxed
+    carry pass bounds the magnitudes (steady state l < 2^16+5, so
+    columns |u*f + v*g| < 1.34*2^30 stay inside int32), and the
+    14-bit shift identity (l_k>>14) + ((l_{k+1} & 0x3FFF) << 2) holds
+    for any limb decomposition.  This replaces the former 17-step
+    sequential carry recurrence (~50 serial ops per round) with ~8
+    whole-array ops -- the divstep runs on 1-2 vregs where op COUNT,
+    not width, is the cost.
     """
     n = f.shape[1]
-    nf = u[None, :] * f + v[None, :] * g   # |.| <= 2^30 per limb
+    nf = u[None, :] * f + v[None, :] * g   # |.| < 1.34*2^30 per limb
     ng = q[None, :] * f + r[None, :] * g
-    s = jnp.concatenate([nf, ng], axis=1)  # (17, 2N): one joint chain
+    s = jnp.concatenate([nf, ng], axis=1)  # (17, 2N)
 
-    out = []
-    carry = jnp.zeros_like(s[0])
-    for i in range(17):
-        t = s[i] + carry
-        out.append(t & jnp.int32(0xFFFF))
-        carry = t >> 16  # arithmetic shift on int32
-    # remaining carry folds into the (signed) top limb
-    out[16] = out[16] | (carry << 16)
-    ls = jnp.stack(out, axis=0)
+    # one relaxed signed pass; the top limb keeps its full magnitude
+    lo = s & jnp.int32(0xFFFF)             # in [0, 2^16)
+    c = s >> 16                            # signed floor carries
+    z = jnp.zeros_like(c[:1])
+    ls = jnp.concatenate([lo[:16], s[16:17]], axis=0) + jnp.concatenate(
+        [z, c[:16]], axis=0
+    )
 
-    # shift14, arrayized: rows 0..15 are non-negative (| == +), row 16
-    # uses the arithmetic shift and gets no high part.
+    # shift14 on relaxed limbs (exact by the 2-adic split identity)
     up = jnp.concatenate([ls[1:], jnp.zeros_like(ls[:1])], axis=0)
     sh = (ls >> DIVSTEP_W) + (
         (up & jnp.int32((1 << DIVSTEP_W) - 1)) << (16 - DIVSTEP_W)
@@ -475,9 +522,14 @@ def _matmul_de(u, v, q, r, d, e):
 
 
 def _divstep_rounds(f, g, d, e, delta):
-    """One outer round: 14 divsteps on low bits, then matrix application."""
-    flow = _i(f[0]) | (_i(f[1]) << 16)
-    glow = _i(g[0]) | (_i(g[1]) << 16)
+    """One outer round: 14 divsteps on low bits, then matrix application.
+
+    f,g limbs are relaxed signed; the low words are recovered exactly
+    mod 2^32 by addition (wrapping int32: limbs beyond 1 contribute
+    multiples of 2^32, the 17-bit spill of limb 0 just adds through).
+    """
+    flow = _i(f[0]) + (_i(f[1]) << 16)
+    glow = _i(g[0]) + (_i(g[1]) << 16)
     u = jnp.ones_like(delta)
     v = jnp.zeros_like(delta)
     q = jnp.zeros_like(delta)
@@ -536,7 +588,12 @@ def modinv(a: jnp.ndarray) -> jnp.ndarray:
     )
 
     # f == +-1 (or p for a == 0).  inverse = sign(f) * d * 2^-602 mod p.
-    neg = f[16] < 0
+    # f's limbs are relaxed signed (see _matmul_fg): resolve the sign
+    # with one exact ripple (runs once, on the narrow root block).
+    carry = jnp.zeros_like(f[0])
+    for i in range(16):
+        carry = (f[i] + carry) >> 16
+    neg = (f[16] + carry) < 0
     d_canon = _cond_sub_p_arr(d)
     d_neg = negmod(d_canon)
     res = jnp.where(neg[None, :], d_neg, d_canon)
@@ -584,6 +641,10 @@ def batch_inv(a: jnp.ndarray, stop: int = 1024,
         half = lev.shape[1] // 2
         lo, hi = lev[:, :half], lev[:, half:]
         rx = relaxed_out and last
+        # (A fused double-width multiply per level -- [root|root] *
+        # [hi|lo] -- was measured 2.6% SLOWER overall: the lane
+        # concatenations are real copies that outweigh the saved
+        # narrow-call issue overhead.)
         inv_lo = mulmod(root_inv, hi, relaxed_out=rx)
         inv_hi = mulmod(root_inv, lo, relaxed_out=rx)
         root_inv = jnp.concatenate([inv_lo, inv_hi], axis=1)

@@ -73,6 +73,18 @@ def make_kernel(variant: str, nb_run: int):
                 inv = dx
             elif variant == "inv_stop512":
                 inv = field.batch_inv(dx, stop=min(512, n))
+            elif variant == "inv_stop256":
+                inv = field.batch_inv(dx, stop=min(256, n))
+            elif variant.startswith("split"):
+                # independent per-chunk inversions: gives the scheduler
+                # work to overlap the divstep's serial latency
+                k = int(variant[5:])
+                h = n // k
+                parts = [
+                    field.batch_inv(dx[:, j * h:(j + 1) * h], stop=inv_stop)
+                    for j in range(k)
+                ]
+                inv = jnp.concatenate(parts, axis=1)
             else:
                 inv = field.batch_inv(dx, stop=inv_stop)
             dy = field.submod(qy, py)
