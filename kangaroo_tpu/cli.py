@@ -298,8 +298,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     print(f"Number of kangaroos: 2^{math.log2(nk):.2f}")
     suggested_dp = solver.suggest_dp(nk)
     if opts.dp_size < 0:
-        opts.dp_size = suggested_dp
         print(f"Suggested DP: {suggested_dp}")
+        opts.dp_size = solver.balanced_dp(nk)
+        if opts.dp_size != suggested_dp:
+            # our DP drain costs ~us per point (host + device relay),
+            # not ~100 ns like the reference's in-process insert, so
+            # the auto choice also weighs the drain (see balanced_dp)
+            print(f"Drain-balanced DP: {opts.dp_size}")
     exp_op, exp_ram, _ = solver.compute_expected(float(opts.dp_size), nk)
     print(f"Expected operations: 2^{math.log2(exp_op):.2f}")
     print(f"Expected RAM: {exp_ram:.1f}MB")

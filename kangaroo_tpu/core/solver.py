@@ -147,6 +147,36 @@ class KangarooSolver:
             _, _, overhead = self.compute_expected(float(s), nb_kangaroo)
         return s
 
+    # Host-side cost of one DP (decode + table insert + relay
+    # transfer), measured on this stack: ~4.4 us compute + ~17 us
+    # transfer/dispatch through the remote-device relay.
+    DP_HOST_COST = 20e-6
+
+    def balanced_dp(self, nb_kangaroo: int, rate: Optional[float] = None,
+                    dp_cost: float = DP_HOST_COST) -> int:
+        """Auto-DP with the host drain in the cost model.
+
+        The reference minimizes expected ops alone (its hash insert is
+        ~100 ns, Kangaroo.cpp:980-996); here every DP costs ~20 us of
+        host/relay work, so small ranges with small dp become
+        drain-bound (measured: 56-bit at suggested dp 7 ran at 6 MK/s
+        against an 88 MK/s kernel).  Minimize
+            T(dp) = expected_ops(dp) * (1/rate + dp_cost / 2^dp)
+        over dp >= the reference suggestion.
+        """
+        if rate is None:
+            import jax
+
+            rate = 9e7 if jax.devices()[0].platform == "tpu" else 3.5e6
+        s = self.suggest_dp(nb_kangaroo)
+        best, best_t = s, None
+        for dp in range(s, min(s + 24, 65)):
+            op, _, _ = self.compute_expected(float(dp), nb_kangaroo)
+            t = op * (1.0 / rate + dp_cost / float(1 << dp))
+            if best_t is None or t < best_t:
+                best, best_t = dp, t
+        return best
+
     # -- main loop ------------------------------------------------------
     def solve(
         self,
@@ -169,14 +199,26 @@ class KangarooSolver:
 
         dp_size = opts.dp_size
         if dp_size < 0:
-            dp_size = self.suggest_dp(opts.nb_kangaroo)
+            dp_size = self.balanced_dp(opts.nb_kangaroo)
         self.dp_size = dp_size
         if opts.nb_run == 0:
-            # auto launch window: as long as possible (host overhead
-            # amortizes over the window) while keeping the expected DP
-            # hits per lane per window under ~1/8 so the 2-slot on-chip
-            # capture almost never overflows
-            opts.nb_run = max(16, min(512, 1 << max(0, dp_size - 3)))
+            # auto launch window: as long as possible (host and relay
+            # overhead amortize over the window), floor 64 -- small-dp
+            # runs raise the capture slot count instead of shrinking
+            # the window (tiny windows made the 56-bit solve
+            # host-bound at 6 MK/s vs the 88 MK/s kernel)
+            opts.nb_run = max(64, min(512, 1 << max(0, dp_size - 3)))
+        # capture slots from the expected hits per lane per window
+        # (Poisson tail beyond the slots is counted and reported lost)
+        lam = opts.nb_run / float(1 << dp_size)
+        if lam <= 0.125:
+            n_slots = 2
+        elif lam <= 0.5:
+            n_slots = 4
+        elif lam <= 1.0:
+            n_slots = 6
+        else:
+            n_slots = 8
         self.stats.expected_ops, _, _ = self.compute_expected(
             float(dp_size), opts.nb_kangaroo
         )
@@ -270,7 +312,7 @@ class KangarooSolver:
             sharded_tick = sharding_mod.make_sharded_jump_steps(
                 mesh, nb_run=opts.nb_run,
                 inv_stop=min(inv_stop, opts.nb_kangaroo // nd),
-                backend=backend, symmetry=opts.symmetry,
+                backend=backend, symmetry=opts.symmetry, slots=n_slots,
             )
 
             def tick_fn(px, py, d, sc):
@@ -284,46 +326,73 @@ class KangarooSolver:
                 return jump_pallas.jump_steps_with_dp(
                     px, py, d, jx, jy, jd, dp_masks,
                     nb_run=opts.nb_run, block=block,
-                    symmetry=opts.symmetry, symclass=sc,
+                    symmetry=opts.symmetry, symclass=sc, slots=n_slots,
                 )
         else:
             def tick_fn(px, py, d, sc):
                 return jump_ref.jump_steps_with_dp(
                     px, py, d, jx, jy, jd, dp_masks,
                     nb_run=opts.nb_run, inv_stop=inv_stop,
-                    symmetry=opts.symmetry, symclass=sc,
+                    symmetry=opts.symmetry, symclass=sc, slots=n_slots,
                 )
 
 
         sink_end = False
 
-        def pull(pend):
-            """Bring one tick's DP hits to the host (hit lanes only).
+        # One fixed gather width for the whole solve: a varying (or
+        # pow2-laddered) width would compile a fresh gather per new
+        # size -- ~30-90 s each through a remote compile service.
+        # Sized at ~2x the expected hits per window; overflow is
+        # handled by gathering in chunks of the same width.
+        exp_hits = n * opts.nb_run / float(1 << dp_size)
+        pull_pad = min(
+            max(128, 1 << int(math.ceil(math.log2(2.0 * exp_hits + 64)))),
+            n,
+        )
 
-            Must run BEFORE the next tick is dispatched so the gathers
-            execute right after their tick on the device queue.  Pulls
-            only the hit lanes: the full DP slot arrays are tens of MB
-            per tick at large herds.
+        def enqueue_pull(pend):
+            """Stage 2: read a tick's DP counts, enqueue hit-lane gathers.
+
+            Blocks only on the count transfer (u16-packed); the slot
+            gathers are dispatched and left in flight so they overlap
+            the next tick on the device queue.  Pulls only the hit
+            lanes: the full DP slot arrays are tens of MB per tick at
+            large herds.
             """
             count, dpx, dpd, dp_step = pend
-            count_np = np.asarray(count)
+            count_np = np.asarray(count.astype(jnp.uint16))
             hits = np.nonzero(count_np)[0]
             if not hits.size:
                 return None
-            # pad the gather index to a power-of-two length: a varying
-            # length would trigger a fresh compile of the gather every
-            # tick (ruinous through a remote compile service)
             h = len(hits)
-            padded = max(128, 1 << (h - 1).bit_length())
-            if padded > count_np.shape[0]:
-                padded = count_np.shape[0]
-            idx = np.zeros(padded, dtype=np.int32)
-            idx[:h] = hits
-            hit_idx = jnp.asarray(idx)
-            dpx_np = np.asarray(jnp.take(dpx, hit_idx, axis=2))[:, :, :h]
-            dpd_np = np.asarray(jnp.take(dpd, hit_idx, axis=2))[:, :, :h]
-            step_np = np.asarray(jnp.take(dp_step, hit_idx, axis=1))[:, :h]
-            return count_np, hits, dpx_np, dpd_np, step_np
+            chunks = []
+            for off in range(0, h, pull_pad):
+                part = hits[off:off + pull_pad]
+                idx = np.zeros(pull_pad, dtype=np.int32)
+                idx[:len(part)] = part
+                hit_idx = jnp.asarray(idx)
+                chunks.append((
+                    len(part),
+                    jnp.take(dpx, hit_idx, axis=2),
+                    jnp.take(dpd, hit_idx, axis=2),
+                    jnp.take(dp_step, hit_idx, axis=1),
+                ))
+            return count_np, hits, chunks
+
+        def read_pull(flight):
+            """Stage 3 transfer: bring the gathered hit slots to host."""
+            count_np, hits, chunks = flight
+            xs, ds, ss = [], [], []
+            for m, dpx_g, dpd_g, step_g in chunks:
+                xs.append(np.asarray(dpx_g)[:, :, :m])
+                ds.append(np.asarray(dpd_g)[:, :, :m])
+                ss.append(np.asarray(step_g)[:, :m])
+            return (
+                count_np, hits,
+                np.concatenate(xs, axis=2),
+                np.concatenate(ds, axis=2),
+                np.concatenate(ss, axis=1),
+            )
 
         def drain(pulled):
             """Process pulled DP hits; returns True to stop.
@@ -336,11 +405,12 @@ class KangarooSolver:
             """
             nonlocal px, py, d, symclass, result, sink_end
             count_np, hits, dpx_np, dpd_np, step_np = pulled
-            # DP hits beyond the 2 on-chip capture slots are dropped by
+            ns = dpx_np.shape[0]
+            # DP hits beyond the on-chip capture slots are dropped by
             # the kernel; count and warn like the reference's output
             # ring overflow (GPUEngine.cu:641-648)
             lost = int(
-                np.maximum(count_np[hits].astype(np.int64) - 2, 0).sum()
+                np.maximum(count_np[hits].astype(np.int64) - ns, 0).sum()
             )
             if lost:
                 self.stats.lost += lost
@@ -351,14 +421,14 @@ class KangarooSolver:
                         f"Hint: increase dp bit number or decrease "
                         f"-nbrun to lower the DP rate per launch window"
                     )
-            # vectorized limb -> int conversion for both slots
-            xs_slot = [limbs_to_ints_fast(dpx_np[sl]) for sl in (0, 1)]
-            ds_slot = [limbs_to_ints_fast(dpd_np[sl]) for sl in (0, 1)]
+            # vectorized limb -> int conversion for every slot
+            xs_slot = [limbs_to_ints_fast(dpx_np[sl]) for sl in range(ns)]
+            ds_slot = [limbs_to_ints_fast(dpd_np[sl]) for sl in range(ns)]
             # process in walk order (step, then lane) so the table
             # fills like a sequential replay
             items = []
             for pos, lane in enumerate(hits):
-                c = min(int(count_np[lane]), 2)
+                c = min(int(count_np[lane]), ns)
                 for slot in range(c):
                     items.append(
                         (int(step_np[slot, pos]), int(lane), pos, slot)
@@ -424,10 +494,17 @@ class KangarooSolver:
                     symclass = symclass.at[lanes].set(jnp.uint32(0))
             return False
 
-        # Pipelined loop: pull tick i's hits, dispatch tick i+1, then
-        # do the host-side processing while the device is busy.
-        pending = None
-        while result is None:
+        # Three-stage pipelined loop (the device queue never drains):
+        #   iter T: dispatch tick T; read tick T-1's DP counts and
+        #   enqueue its hit-lane gathers (they run behind tick T);
+        #   transfer + host-process tick T-2's gathered hits.
+        # The reference GPU loop overlaps the same way with its async
+        # readback (GPUEngine.cu:607-677); dead-kangaroo resets land a
+        # few launch windows late, the same slack class.
+        pending = None   # tick outputs awaiting count read
+        inflight = None  # enqueued gathers awaiting host transfer
+        stop = False
+        while result is None and not stop:
             if max_ticks is not None and tick >= max_ticks:
                 break
             if (
@@ -436,7 +513,6 @@ class KangarooSolver:
                 > opts.max_step * self.stats.expected_ops
             ):
                 break
-            pulled = pull(pending) if pending is not None else None
             out = tick_fn(px, py, d, symclass)
             px, py, d = out[0], out[1], out[2]
             if opts.symmetry:
@@ -444,11 +520,11 @@ class KangarooSolver:
             self.stats.count += n * opts.nb_run
             tick += 1
 
-            stop = drain(pulled) if pulled is not None else False
+            gath = enqueue_pull(pending) if pending is not None else None
+            if inflight is not None:
+                stop = drain(read_pull(inflight))
+            inflight = gath
             pending = out[3:7]
-            if stop:
-                pending = None
-                break
 
             now = time.time()
             if progress is not None and now - last_status > 2.0:
@@ -468,10 +544,13 @@ class KangarooSolver:
                     self._save_work(px, py, d, now - t0)
                 last_save = now
 
-        if pending is not None and result is None and not sink_end:
-            pulled = pull(pending)
-            if pulled is not None:
-                drain(pulled)
+        # flush both pipeline stages
+        if result is None and not sink_end and inflight is not None:
+            drain(read_pull(inflight))
+        if result is None and not sink_end and pending is not None:
+            gath = enqueue_pull(pending)
+            if gath is not None:
+                drain(read_pull(gath))
 
         self.stats.time = self.offset_time + time.time() - t0
         self.last_state = (px, py, d)

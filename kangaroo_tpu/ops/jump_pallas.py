@@ -76,7 +76,7 @@ def _jump_kernel(
     px_ref, py_ref, d_ref, sc_ref,
     opx_ref, opy_ref, od_ref, osc_ref,
     cnt_ref, dpx_ref, dpd_ref, step_ref,
-    *, nb_run: int, symmetry: bool,
+    *, nb_run: int, symmetry: bool, slots: int,
 ):
     px = px_ref[:, :]
     py = py_ref[:, :]
@@ -89,9 +89,9 @@ def _jump_kernel(
     n = px.shape[1]
 
     count = jnp.zeros((n,), dtype=jnp.uint32)
-    dpx = jnp.zeros((2 * 16, n), dtype=jnp.uint32)
-    dpd = jnp.zeros((2 * 8, n), dtype=jnp.uint32)
-    dstep = jnp.zeros((2, n), dtype=jnp.uint32)
+    dpx = jnp.zeros((slots * 16, n), dtype=jnp.uint32)
+    dpd = jnp.zeros((slots * 8, n), dtype=jnp.uint32)
+    dstep = jnp.zeros((slots, n), dtype=jnp.uint32)
     # one fused gather per step: stack the three jump tables so a
     # single one-hot build and one lo/hi dot pair fetch qx|qy|qd
     jtbl = jnp.concatenate([jx, jy, jd], axis=0)  # (40, 32)
@@ -122,28 +122,25 @@ def _jump_kernel(
             sc = sc ^ high
 
         hit = is_dp(px, masks)
-        slot0 = hit & (count == 0)
-        slot1 = hit & (count == 1)
-        m0 = slot0[None, :]
-        m1 = slot1[None, :]
+        sl = [hit & (count == jnp.uint32(s)) for s in range(slots)]
         dpx = jnp.concatenate(
             [
-                jnp.where(m0, px, dpx[:16]),
-                jnp.where(m1, px, dpx[16:]),
+                jnp.where(sl[s][None, :], px, dpx[16 * s:16 * (s + 1)])
+                for s in range(slots)
             ],
             axis=0,
         )
         dpd = jnp.concatenate(
             [
-                jnp.where(m0, d, dpd[:8]),
-                jnp.where(m1, d, dpd[8:]),
+                jnp.where(sl[s][None, :], d, dpd[8 * s:8 * (s + 1)])
+                for s in range(slots)
             ],
             axis=0,
         )
         dstep = jnp.concatenate(
             [
-                jnp.where(slot0, jnp.uint32(i), dstep[0])[None, :],
-                jnp.where(slot1, jnp.uint32(i), dstep[1])[None, :],
+                jnp.where(sl[s], jnp.uint32(i), dstep[s])[None, :]
+                for s in range(slots)
             ],
             axis=0,
         )
@@ -165,17 +162,21 @@ def _jump_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb_run", "block", "interpret", "symmetry")
+    jax.jit,
+    static_argnames=("nb_run", "block", "interpret", "symmetry", "slots"),
 )
 def jump_steps_with_dp(
     px, py, d, jx, jy, jd, dp_masks,
     nb_run: int = 64, block: int = DEFAULT_BLOCK, interpret: bool = False,
-    symmetry: bool = False, symclass=None,
+    symmetry: bool = False, symclass=None, slots: int = 2,
 ):
     """Pallas backend with the same contract as jump_ref.jump_steps_with_dp.
 
     Returns (px, py, d, dp_count, dpx, dpd, dp_step[, symclass]); dpx
-    has shape (2, 16, N), dpd (2, 8, N), dp_step (2, N), dp_count (N,).
+    has shape (slots, 16, N), dpd (slots, 8, N), dp_step (slots, N),
+    dp_count (N,).  `slots` bounds per-lane DP captures per window
+    (hits beyond it are counted but dropped); small-dp runs use more
+    slots so launch windows stay long.
     """
     n = px.shape[1]
     if symclass is None:
@@ -192,18 +193,19 @@ def jump_steps_with_dp(
     )
 
     out_shapes = (
-        jax.ShapeDtypeStruct((16, n), jnp.uint32),   # px
-        jax.ShapeDtypeStruct((16, n), jnp.uint32),   # py
-        jax.ShapeDtypeStruct((8, n), jnp.uint32),    # d
-        jax.ShapeDtypeStruct((1, n), jnp.uint32),    # symclass
-        jax.ShapeDtypeStruct((1, n), jnp.uint32),    # count
-        jax.ShapeDtypeStruct((32, n), jnp.uint32),   # dpx slots
-        jax.ShapeDtypeStruct((16, n), jnp.uint32),   # dpd slots
-        jax.ShapeDtypeStruct((2, n), jnp.uint32),    # step slots
+        jax.ShapeDtypeStruct((16, n), jnp.uint32),         # px
+        jax.ShapeDtypeStruct((16, n), jnp.uint32),         # py
+        jax.ShapeDtypeStruct((8, n), jnp.uint32),          # d
+        jax.ShapeDtypeStruct((1, n), jnp.uint32),          # symclass
+        jax.ShapeDtypeStruct((1, n), jnp.uint32),          # count
+        jax.ShapeDtypeStruct((slots * 16, n), jnp.uint32),  # dpx slots
+        jax.ShapeDtypeStruct((slots * 8, n), jnp.uint32),   # dpd slots
+        jax.ShapeDtypeStruct((slots, n), jnp.uint32),       # step slots
     )
     out_specs = (
         state_spec(16), state_spec(16), state_spec(8), state_spec(1),
-        state_spec(1), state_spec(32), state_spec(16), state_spec(2),
+        state_spec(1), state_spec(slots * 16), state_spec(slots * 8),
+        state_spec(slots),
     )
     in_specs = [
         full_spec((16, NB_JUMP)),   # jx
@@ -216,7 +218,9 @@ def jump_steps_with_dp(
         state_spec(1),              # symclass
     ]
 
-    kernel = functools.partial(_jump_kernel, nb_run=nb_run, symmetry=symmetry)
+    kernel = functools.partial(
+        _jump_kernel, nb_run=nb_run, symmetry=symmetry, slots=slots
+    )
     kw = {}
     if not interpret:
         # the default Mosaic VMEM budget rejects blocks >= 8192 lanes;
@@ -238,8 +242,8 @@ def jump_steps_with_dp(
     out = (
         opx, opy, od,
         cnt[0],
-        dpx.reshape(2, 16, n),
-        dpd.reshape(2, 8, n),
+        dpx.reshape(slots, 16, n),
+        dpd.reshape(slots, 8, n),
         dstep,
     )
     if symmetry:

@@ -127,24 +127,26 @@ def jump_step(
     return nx, ny, nd, symclass
 
 
-@partial(jax.jit, static_argnames=("nb_run", "inv_stop", "symmetry"))
+@partial(
+    jax.jit, static_argnames=("nb_run", "inv_stop", "symmetry", "slots")
+)
 def jump_steps_with_dp(
     px, py, d, jx, jy, jd, dp_masks, nb_run: int = 16, inv_stop: int = 1024,
-    symmetry: bool = False, symclass=None,
+    symmetry: bool = False, symclass=None, slots: int = 2,
 ):
-    """nb_run jumps; record up to 2 DP hits per lane (slot capture).
+    """nb_run jumps; record up to `slots` DP hits per lane.
 
     Returns (px, py, d, dp_count, dpx, dpd, dp_step[, symclass]) where
-    dpx/dpd hold the x / device-distance limbs at DP time for the first
-    two hits per lane and dp_step the step index of each hit.  Losing a
-    third hit in one launch window is ~C(nb_run,3)/2^(3 dp): negligible,
-    and the same class of loss exists in the reference's bounded GPU
-    output buffer (GPUEngine.cu:641-648).
+    dpx/dpd hold the x / device-distance limbs at DP time for the
+    first `slots` hits per lane and dp_step the step index of each
+    hit.  Hits beyond the slots are counted (the solver reports them
+    lost); the same class of loss exists in the reference's bounded
+    GPU output buffer (GPUEngine.cu:641-648).
     """
     n = px.shape[1]
-    dpx = jnp.zeros((2, 16, n), dtype=jnp.uint32)
-    dpd = jnp.zeros((2, 8, n), dtype=jnp.uint32)
-    dp_step = jnp.zeros((2, n), dtype=jnp.uint32)
+    dpx = jnp.zeros((slots, 16, n), dtype=jnp.uint32)
+    dpd = jnp.zeros((slots, 8, n), dtype=jnp.uint32)
+    dp_step = jnp.zeros((slots, n), dtype=jnp.uint32)
     count = jnp.zeros((n,), dtype=jnp.uint32)
     if symmetry and symclass is None:
         symclass = jnp.zeros((n,), dtype=jnp.uint32)
@@ -158,18 +160,13 @@ def jump_steps_with_dp(
         else:
             px, py, d = jump_step(px, py, d, jx, jy, jd, inv_stop=inv_stop)
         hit = is_dp(px, dp_masks)
-        slot0 = hit & (count == 0)
-        slot1 = hit & (count == 1)
-        dpx = dpx.at[0].set(jnp.where(slot0[None, :], px, dpx[0]))
-        dpd = dpd.at[0].set(jnp.where(slot0[None, :], d, dpd[0]))
-        dp_step = dp_step.at[0].set(
-            jnp.where(slot0, jnp.uint32(i), dp_step[0])
-        )
-        dpx = dpx.at[1].set(jnp.where(slot1[None, :], px, dpx[1]))
-        dpd = dpd.at[1].set(jnp.where(slot1[None, :], d, dpd[1]))
-        dp_step = dp_step.at[1].set(
-            jnp.where(slot1, jnp.uint32(i), dp_step[1])
-        )
+        for s in range(slots):
+            sel = hit & (count == jnp.uint32(s))
+            dpx = dpx.at[s].set(jnp.where(sel[None, :], px, dpx[s]))
+            dpd = dpd.at[s].set(jnp.where(sel[None, :], d, dpd[s]))
+            dp_step = dp_step.at[s].set(
+                jnp.where(sel, jnp.uint32(i), dp_step[s])
+            )
         count = count + hit.astype(jnp.uint32)
         return px, py, d, count, dpx, dpd, dp_step, sc
 

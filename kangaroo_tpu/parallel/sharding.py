@@ -59,7 +59,7 @@ def shard_herd(mesh: Mesh, px, py, d):
 
 def make_sharded_jump_steps(
     mesh: Mesh, nb_run: int, inv_stop: int = 1024, backend: str = "xla",
-    block: int = 0, symmetry: bool = False,
+    block: int = 0, symmetry: bool = False, slots: int = 2,
 ):
     """Compile the multi-jump tick as an SPMD program over the mesh.
 
@@ -78,11 +78,12 @@ def make_sharded_jump_steps(
             blk = block or min(px.shape[1], jump_pallas.DEFAULT_BLOCK)
             return jump_pallas.jump_steps_with_dp(
                 px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=blk,
-                symmetry=symmetry, symclass=symclass,
+                symmetry=symmetry, symclass=symclass, slots=slots,
             )
         return jump_ref.jump_steps_with_dp(
             px, py, d, jx, jy, jd, masks, nb_run=nb_run,
             inv_stop=inv_stop, symmetry=symmetry, symclass=symclass,
+            slots=slots,
         )
 
     state = P(None, HERD_AXIS)
