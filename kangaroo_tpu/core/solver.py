@@ -350,14 +350,28 @@ class KangarooSolver:
             n,
         )
 
+        # One fused gather dispatch per tick.  Only the x limbs the
+        # table needs travel to the host: the stored X is the low 128
+        # bits and the bucket is bits 128..145 (HashTable.cpp:75-100),
+        # i.e. limbs 0..9 -- the rest of x is reconstructible from
+        # them being a DP (top dp_size bits zero) except bits 146..;
+        # those are never used by the table or collision math.
+        @jax.jit
+        def gather_fn(dpx, dpd, dp_step, hit_idx):
+            return (
+                jnp.take(dpx[:, :10], hit_idx, axis=2),
+                jnp.take(dpd, hit_idx, axis=2),
+                jnp.take(dp_step, hit_idx, axis=1),
+            )
+
         def enqueue_pull(pend):
             """Stage 2: read a tick's DP counts, enqueue hit-lane gathers.
 
             Blocks only on the count transfer (u16-packed); the slot
-            gathers are dispatched and left in flight so they overlap
-            the next tick on the device queue.  Pulls only the hit
-            lanes: the full DP slot arrays are tens of MB per tick at
-            large herds.
+            gathers go out as ONE dispatch and stay in flight so they
+            overlap the next tick on the device queue.  Pulls only the
+            hit lanes: the full DP slot arrays are tens of MB per tick
+            at large herds.
             """
             count, dpx, dpd, dp_step = pend
             count_np = np.asarray(count.astype(jnp.uint16))
@@ -370,13 +384,10 @@ class KangarooSolver:
                 part = hits[off:off + pull_pad]
                 idx = np.zeros(pull_pad, dtype=np.int32)
                 idx[:len(part)] = part
-                hit_idx = jnp.asarray(idx)
-                chunks.append((
-                    len(part),
-                    jnp.take(dpx, hit_idx, axis=2),
-                    jnp.take(dpd, hit_idx, axis=2),
-                    jnp.take(dp_step, hit_idx, axis=1),
-                ))
+                chunks.append(
+                    (len(part),)
+                    + gather_fn(dpx, dpd, dp_step, jnp.asarray(idx))
+                )
             return count_np, hits, chunks
 
         def read_pull(flight):
