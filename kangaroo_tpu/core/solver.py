@@ -58,6 +58,9 @@ class SolverOptions:
     # walk is embarrassingly parallel: each device advances its lane
     # shard, DPs drain to the single host table (SURVEY.md 2.11).
     n_devices: int = 0
+    # fixed hit-gather width (0 = auto from the expected DP rate);
+    # hits beyond it are pulled in chunks of the same width
+    pull_pad: int = 0
 
 
 @dataclass
@@ -207,7 +210,7 @@ class KangarooSolver:
             # runs raise the capture slot count instead of shrinking
             # the window (tiny windows made the 56-bit solve
             # host-bound at 6 MK/s vs the 88 MK/s kernel)
-            opts.nb_run = max(64, min(512, 1 << max(0, dp_size - 3)))
+            opts.nb_run = max(64, min(1024, 1 << max(0, dp_size - 3)))
         # capture slots from the expected hits per lane per window
         # (Poisson tail beyond the slots is counted and reported lost)
         lam = opts.nb_run / float(1 << dp_size)
@@ -345,7 +348,7 @@ class KangarooSolver:
         # Sized at ~2x the expected hits per window; overflow is
         # handled by gathering in chunks of the same width.
         exp_hits = n * opts.nb_run / float(1 << dp_size)
-        pull_pad = min(
+        pull_pad = opts.pull_pad or min(
             max(128, 1 << int(math.ceil(math.log2(2.0 * exp_hits + 64)))),
             n,
         )

@@ -87,3 +87,37 @@ def test_pallas_matches_xla_symmetry():
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=f"mismatch in {name}"
         )
+
+
+def test_pallas_matches_xla_slots4():
+    """Slot-parameterized capture (small-dp windows use 4-8 slots):
+    bit-exact parity incl. all four slot planes and overflow counts."""
+    n = 256
+    nb_run = 24
+    dp_size = 2  # very hot: expected 6 hits/lane, exercises slots 0..3
+
+    jt = create_jump_table(64)
+    jx, jy, jd = (jnp.asarray(a) for a in jt.as_arrays())
+    masks = jnp.asarray(jump_ref.dp_limb_masks(dp_size))
+    rng = MT19937(123)
+    width_div2 = ((1 << 64) - 1) >> 1
+    key = curve.mul(0xFEE1DEAD)
+    px, py, d = herd_mod.create_herd(n, 64, width_div2, key, 0, rng)
+    px, py, d = jnp.asarray(px), jnp.asarray(py), jnp.asarray(d)
+
+    r_ref = jump_ref.jump_steps_with_dp(
+        px, py, d, jx, jy, jd, masks, nb_run=nb_run, inv_stop=128,
+        slots=4,
+    )
+    r_pal = jump_pallas.jump_steps_with_dp(
+        px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=n,
+        interpret=True, slots=4,
+    )
+    assert np.asarray(r_ref[4]).shape[0] == 4
+    for i, name in ((0, "px"), (2, "d"), (3, "count"), (4, "dpx"),
+                    (5, "dpd"), (6, "step")):
+        np.testing.assert_array_equal(
+            np.asarray(r_ref[i]), np.asarray(r_pal[i]), err_msg=name
+        )
+    # the window must actually overflow 4 slots somewhere
+    assert int(np.asarray(r_ref[3]).max()) > 4

@@ -293,3 +293,19 @@ def test_wsplit_files_merge_to_solution(tmp_path):
                          s.stats.time)
         ok, res, dead = merge_dir(str(wdir), str(tmp_path / "m.work"))
     assert res is not None and res.private_key == K_PRIV
+
+
+def test_chunked_pull_solves():
+    """A gather width smaller than the hit count pulls DPs in chunks
+    of one fixed width; nothing may be dropped."""
+    cfg = ProblemConfig(START, START + WIDTH, [curve.mul(K_PRIV)])
+    opts = SolverOptions(
+        nb_kangaroo=256, dp_size=2, nb_run=8, seed=42, n_devices=1,
+        quiet=True, pull_pad=128,
+    )
+    s = KangarooSolver(cfg, opts)
+    res = s.solve(0, max_ticks=3000)
+    assert res is not None and res.private_key == K_PRIV
+    # with dp 2 and 256 lanes x 8 steps, hits per tick >> 128, so the
+    # chunk path really ran
+    assert s.hash_table.n_items() > 128
