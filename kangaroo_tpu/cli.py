@@ -276,7 +276,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             return -1
         cfg = ProblemConfig(lw.range_start, lw.range_end, [lw.key])
         solver = KangarooSolver(cfg, opts)
-        solver.hash_table = lw.hash_table
+        from .core.hashtable import NativeHashTable
+
+        if isinstance(solver.hash_table, NativeHashTable):
+            solver.hash_table.absorb(lw.hash_table)
+        else:
+            solver.hash_table = lw.hash_table
         solver.offset_count = lw.count
         solver.offset_time = lw.time
         solver.resumed = True

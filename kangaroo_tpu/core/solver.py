@@ -29,7 +29,15 @@ from ..utils.intutils import (
 from . import curve, herd as herd_mod
 from .collision import collision_check
 from .config import ProblemConfig
-from .hashtable import ADD_COLLISION, ADD_DUPLICATE, ADD_OK, HashTable
+from .hashtable import (
+    ADD_COLLISION,
+    ADD_DUPLICATE,
+    ADD_OK,
+    HashTable,
+    NativeHashTable,
+    calc_dist_and_type,
+    make_hash_table,
+)
 from .jumptable import JumpTable, create_jump_table
 
 
@@ -80,7 +88,7 @@ class KangarooSolver:
     def __init__(self, cfg: ProblemConfig, opts: SolverOptions):
         self.cfg = cfg
         self.opts = opts
-        self.hash_table = HashTable()
+        self.hash_table = make_hash_table()
         self.stats = SolveStats()
         self.key_idx = 0
         self.end_of_search = False
@@ -408,6 +416,113 @@ class KangarooSolver:
                 np.concatenate(ss, axis=1),
             )
 
+        def apply_resets(resets):
+            """Dead lanes draw fresh kangaroos (Kangaroo.cpp:467-471)."""
+            nonlocal px, py, d, symclass
+            if not resets:
+                return
+            px, py, d = self._reset_lanes(px, py, d, resets, rng)
+            if opts.symmetry:
+                lanes_a = jnp.asarray(
+                    np.array([l for l, _ in resets], dtype=np.int32)
+                )
+                symclass = symclass.at[lanes_a].set(jnp.uint32(0))
+
+        _wd2 = self.width_div2
+        _wlo = np.uint64(_wd2 & 0xFFFFFFFFFFFFFFFF)
+        _whi = np.uint64(_wd2 >> 64)
+
+        def drain_native(count_np, hits, dpx_np, dpd_np, step_np, ns):
+            """Batch drain into the native C++ table.
+
+            Fully vectorized packing: device distances become the
+            reference's sign/type-flagged 126-bit D encoding with
+            numpy u64 pairs (identical to true_distance+convert on
+            each item: positive -> mag, negative -> n-|v| which flags
+            the sign bit), then ONE ctypes call inserts the whole
+            batch.  ~0.3 us/DP vs ~4.4 us on the per-item path.
+            """
+            nonlocal result
+            cnt = np.minimum(count_np[hits].astype(np.int64), ns)
+            slot_i, pos_i = np.nonzero(np.arange(ns)[:, None] < cnt[None, :])
+            if not slot_i.size:
+                return False
+            steps = step_np[slot_i, pos_i]
+            lanes = hits[pos_i]
+            order = np.lexsort((lanes, steps))  # walk order (step, lane)
+            slot_i, pos_i = slot_i[order], pos_i[order]
+            lanes = lanes[order]
+            m = len(lanes)
+            xl = dpx_np[slot_i, :, pos_i]        # (m, 10) 16-bit limbs
+            dl = dpd_np[slot_i, :, pos_i].astype(np.uint64)  # (m, 8)
+            hbk = (xl[:, 8] | ((xl[:, 9] & 0x3) << 16)).astype(np.uint32)
+            lo = dl[:, 0] | (dl[:, 1] << np.uint64(16)) | (
+                dl[:, 2] << np.uint64(32)) | (dl[:, 3] << np.uint64(48))
+            hi = dl[:, 4] | (dl[:, 5] << np.uint64(16)) | (
+                dl[:, 6] << np.uint64(32)) | (dl[:, 7] << np.uint64(48))
+            ktype = (lanes & 1).astype(np.uint64)
+            if opts.symmetry:
+                neg = (hi >> np.uint64(63)).astype(bool)
+                vlo, vhi = lo, hi
+            else:
+                wild = ktype == 1
+                borrow = (lo < _wlo).astype(np.uint64)
+                nl = lo - _wlo
+                nh = hi - _whi - borrow
+                below = (hi < _whi) | ((hi == _whi) & (lo < _wlo))
+                vlo = np.where(wild, nl, lo)
+                vhi = np.where(wild, nh, hi)
+                neg = wild & below
+            # |v| for negative values (two's-complement negate, 128b)
+            mlo = (~vlo) + np.uint64(1)
+            mhi = (~vhi) + (vlo == 0).astype(np.uint64)
+            vlo = np.where(neg, mlo, vlo)
+            vhi = np.where(neg, mhi, vhi)
+            if (vhi >> np.uint64(62)).any():
+                raise ValueError("distance magnitude exceeds 126 bits")
+            dhi = vhi | (ktype << np.uint64(62)) | (
+                neg.astype(np.uint64) << np.uint64(63))
+            rec = np.empty((m, 36), dtype=np.uint8)
+            rec[:, 0:4] = hbk.astype("<u4").view(np.uint8).reshape(m, 4)
+            rec[:, 4:20] = (
+                xl[:, :8].astype("<u2").view(np.uint8).reshape(m, 16)
+            )
+            rec[:, 20:28] = vlo.astype("<u8").view(np.uint8).reshape(m, 8)
+            rec[:, 28:36] = dhi.astype("<u8").view(np.uint8).reshape(m, 8)
+            resets = []
+            chunk = 32768  # keeps dup/collision report buffers ample
+            for off in range(0, m, chunk):
+                part = min(chunk, m - off)
+                _, dup_idx, dup_total, colls = (
+                    self.hash_table.add_batch_raw(
+                        rec[off:off + part].tobytes(), part
+                    )
+                )
+                self.stats.dead += dup_total
+                for i in dup_idx:
+                    lane = int(lanes[off + i])
+                    resets.append((lane, lane % 2))
+                for x128, d_new, d_old, idx in colls:
+                    d1, t1 = calc_dist_and_type(d_old)
+                    d2, t2 = calc_dist_and_type(d_new)
+                    dead, res = collision_check(
+                        d1, t1, d2, t2,
+                        self.key_to_search, self.key_to_search_neg,
+                        self.range_start,
+                        width_div2_sym=(
+                            self.width_div2 if opts.symmetry else None
+                        ),
+                    )
+                    if res is not None:
+                        result = res
+                        return True
+                    if dead:
+                        self.stats.dead += 1
+                        lane = int(lanes[off + idx])
+                        resets.append((lane, lane % 2))
+            apply_resets(resets)
+            return False
+
         def drain(pulled):
             """Process pulled DP hits; returns True to stop.
 
@@ -435,6 +550,11 @@ class KangarooSolver:
                         f"Hint: increase dp bit number or decrease "
                         f"-nbrun to lower the DP rate per launch window"
                     )
+            if dp_sink is None and isinstance(
+                self.hash_table, NativeHashTable
+            ):
+                return drain_native(count_np, hits, dpx_np, dpd_np,
+                                    step_np, ns)
             # vectorized limb -> int conversion for every slot
             xs_slot = [limbs_to_ints_fast(dpx_np[sl]) for sl in range(ns)]
             ds_slot = [limbs_to_ints_fast(dpd_np[sl]) for sl in range(ns)]
@@ -498,14 +618,7 @@ class KangarooSolver:
                 elif status == ADD_DUPLICATE:
                     self.stats.dead += 1
                     resets.append((lane, ktype))
-            if resets:
-                px, py, d = self._reset_lanes(px, py, d, resets, rng)
-                if opts.symmetry:
-                    # fresh kangaroos start in symmetry class 0
-                    lanes = jnp.asarray(
-                        np.array([l for l, _ in resets], dtype=np.int32)
-                    )
-                    symclass = symclass.at[lanes].set(jnp.uint32(0))
+            apply_resets(resets)
             return False
 
         # Three-stage pipelined loop (the device queue never drains):
@@ -625,7 +738,7 @@ class KangarooSolver:
             # write the frozen one -- a consistent snapshot; offline
             # merge recovers cross-file collisions (README.md:152-196).
             # Files are timestamped like the reference (Timer::getTS).
-            self.hash_table = HashTable()
+            self.hash_table = make_hash_table()
             name = name + "_" + time.strftime("%d%b%y_%H%M%S")
 
         def write():

@@ -73,6 +73,41 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_uint32),
         ]
+        lib.kt_ht_new.restype = ctypes.c_void_p
+        lib.kt_ht_new.argtypes = []
+        lib.kt_ht_free.restype = None
+        lib.kt_ht_free.argtypes = [ctypes.c_void_p]
+        lib.kt_ht_reset.restype = None
+        lib.kt_ht_reset.argtypes = [ctypes.c_void_p]
+        lib.kt_ht_nitems.restype = ctypes.c_ulonglong
+        lib.kt_ht_nitems.argtypes = [ctypes.c_void_p]
+        lib.kt_ht_add_batch.restype = ctypes.c_longlong
+        lib.kt_ht_add_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_ulonglong),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_ulonglong),
+        ]
+        lib.kt_ht_write.restype = ctypes.c_longlong
+        lib.kt_ht_write.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_int,
+        ]
+        lib.kt_ht_read.restype = ctypes.c_longlong
+        lib.kt_ht_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
+        ]
+        lib.kt_ht_stats.restype = ctypes.c_longlong
+        lib.kt_ht_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32)
+        ]
+        lib.kt_ht_export.restype = ctypes.c_longlong
+        lib.kt_ht_export.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)
+        ]
         _lib = lib
         return _lib
 

@@ -185,3 +185,205 @@ long long kt_count_buckets(const char* path, long long off, uint32_t n_buckets) 
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Native DP hash table (reference layout: 2^18 buckets of sorted
+// 32-byte entries, HashTable.{h,cpp}).  The Python dict table costs
+// ~1.3 us per insert plus per-item ctypes/bignum overhead; this table
+// takes whole drained batches in one call and serializes/loads the
+// HEADW bucket region directly, making 10^7+-DP tables practical.
+// ---------------------------------------------------------------------
+
+namespace {
+
+constexpr uint32_t KT_HASH_SIZE = 1u << 18;
+
+struct HtBucket {
+    std::vector<Entry> v;  // sorted by x (cmp128)
+};
+
+struct KtHashTable {
+    std::vector<HtBucket> b;
+    uint64_t n = 0;
+    KtHashTable() : b(KT_HASH_SIZE) {}
+};
+
+inline uint32_t ref_max_item_c(uint32_t nb) {
+    if (nb == 0) return 0;
+    if (nb <= 15) return 16;
+    return 4 * ((nb + 4) / 4);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* kt_ht_new() { return new KtHashTable(); }
+
+void kt_ht_free(void* h) { delete static_cast<KtHashTable*>(h); }
+
+void kt_ht_reset(void* h) {
+    auto* t = static_cast<KtHashTable*>(h);
+    for (auto& bk : t->b) bk.v.clear();
+    t->n = 0;
+}
+
+unsigned long long kt_ht_nitems(void* h) {
+    return static_cast<KtHashTable*>(h)->n;
+}
+
+// Insert a batch of records (each 36 B: u32 bucket, x128, d128, all
+// little-endian).  Semantics of HashTable::Add (HashTable.cpp:262-307):
+// new x -> insert sorted; same x same d -> duplicate; same x diff d ->
+// collision, existing entry kept.  Duplicate record indices go to
+// dup_idx (u32 each, up to max_dup; total always in *dup_total);
+// collisions emit 52-byte records {x128, d_new128, d_old128, u32 idx}
+// up to max_coll with the true total in *coll_total.  Returns the
+// number of newly inserted entries, or -1 on a malformed bucket id.
+long long kt_ht_add_batch(void* h, const uint8_t* recs, uint32_t n,
+                          uint32_t* dup_idx, uint32_t* n_dup,
+                          uint32_t max_dup,
+                          unsigned long long* dup_total,
+                          uint8_t* coll, uint32_t* n_coll,
+                          uint32_t max_coll,
+                          unsigned long long* coll_total) {
+    auto* t = static_cast<KtHashTable*>(h);
+    *n_dup = 0;
+    *dup_total = 0;
+    *n_coll = 0;
+    *coll_total = 0;
+    long long added = 0;
+    for (uint32_t i = 0; i < n; ++i) {
+        const uint8_t* r = recs + 36ull * i;
+        uint32_t hb;
+        memcpy(&hb, r, 4);
+        if (hb >= KT_HASH_SIZE) return -1;
+        Entry e;
+        memcpy(e.x, r + 4, 16);
+        memcpy(e.d, r + 20, 16);
+        auto& v = t->b[hb].v;
+        size_t lo = 0, hi = v.size();
+        while (lo < hi) {
+            size_t mid = (lo + hi) / 2;
+            if (cmp128(v[mid].x, e.x) < 0)
+                lo = mid + 1;
+            else
+                hi = mid;
+        }
+        if (lo < v.size() && cmp128(v[lo].x, e.x) == 0) {
+            if (memcmp(v[lo].d, e.d, 16) == 0) {
+                ++(*dup_total);
+                if (*n_dup < max_dup) dup_idx[(*n_dup)++] = i;
+            } else {
+                ++(*coll_total);
+                if (*n_coll < max_coll) {
+                    uint8_t* c = coll + 52ull * (*n_coll);
+                    memcpy(c, e.x, 16);
+                    memcpy(c + 16, e.d, 16);
+                    memcpy(c + 32, v[lo].d, 16);
+                    memcpy(c + 48, &i, 4);
+                    ++(*n_coll);
+                }
+            }
+        } else {
+            v.insert(v.begin() + lo, e);
+            ++t->n;
+            ++added;
+        }
+    }
+    return added;
+}
+
+// Serialize the bucket region in HEADW layout at `off` (the file is
+// created/extended as needed).  max_item_style: 0 = solver allocator
+// growth pattern (ref_max_item), 1 = merge round-up-to-4.  Returns
+// bytes written or -1.
+long long kt_ht_write(void* h, const char* path, long long off,
+                      int max_item_style) {
+    auto* t = static_cast<KtHashTable*>(h);
+    FILE* f = fopen(path, "rb+");
+    if (!f) f = fopen(path, "wb");
+    if (!f) return -1;
+    if (fseek(f, (long)off, SEEK_SET) != 0) {
+        fclose(f);
+        return -1;
+    }
+    long long written = 0;
+    for (uint32_t hb = 0; hb < KT_HASH_SIZE; ++hb) {
+        auto& v = t->b[hb].v;
+        uint32_t nb = (uint32_t)v.size();
+        uint32_t mx = max_item_style ? round4(nb) : ref_max_item_c(nb);
+        if (fwrite(&nb, 4, 1, f) != 1 || fwrite(&mx, 4, 1, f) != 1) {
+            fclose(f);
+            return -1;
+        }
+        if (nb && fwrite(v.data(), 32, nb, f) != nb) {
+            fclose(f);
+            return -1;
+        }
+        written += 8 + 32ll * nb;
+    }
+    fclose(f);
+    return written;
+}
+
+// Load a HEADW bucket region from `off`, REPLACING the table contents.
+// Returns bytes consumed or -1.
+long long kt_ht_read(void* h, const char* path, long long off) {
+    auto* t = static_cast<KtHashTable*>(h);
+    FILE* f = fopen(path, "rb");
+    if (!f || fseek(f, (long)off, SEEK_SET) != 0) {
+        if (f) fclose(f);
+        return -1;
+    }
+    kt_ht_reset(h);
+    long long consumed = 0;
+    for (uint32_t hb = 0; hb < KT_HASH_SIZE; ++hb) {
+        uint32_t nb, mx;
+        if (!read_u32(f, &nb) || !read_u32(f, &mx)) {
+            fclose(f);
+            return -1;
+        }
+        auto& v = t->b[hb].v;
+        v.resize(nb);
+        if (nb && fread(v.data(), 32, nb, f) != nb) {
+            fclose(f);
+            return -1;
+        }
+        t->n += nb;
+        consumed += 8 + 32ll * nb;
+    }
+    fclose(f);
+    return consumed;
+}
+
+// Per-bucket counts for stats; returns the item total.
+long long kt_ht_stats(void* h, uint32_t* nb_out) {
+    auto* t = static_cast<KtHashTable*>(h);
+    long long total = 0;
+    for (uint32_t hb = 0; hb < KT_HASH_SIZE; ++hb) {
+        nb_out[hb] = (uint32_t)t->b[hb].v.size();
+        total += nb_out[hb];
+    }
+    return total;
+}
+
+// Export all entries in file order (bucket asc, x asc) as 36-byte
+// records {u32 bucket, x128, d128} into `out` (caller sizes it from
+// kt_ht_nitems).  Returns the record count.
+long long kt_ht_export(void* h, uint8_t* out) {
+    auto* t = static_cast<KtHashTable*>(h);
+    long long k = 0;
+    for (uint32_t hb = 0; hb < KT_HASH_SIZE; ++hb) {
+        for (const Entry& e : t->b[hb].v) {
+            uint8_t* r = out + 36ull * k;
+            memcpy(r, &hb, 4);
+            memcpy(r + 4, e.x, 16);
+            memcpy(r + 20, e.d, 16);
+            ++k;
+        }
+    }
+    return k;
+}
+
+}  // extern "C"

@@ -30,7 +30,14 @@ from ..constants import (
 from ..core import curve
 from ..core.collision import SolveResult, collision_check
 from ..core.config import ProblemConfig
-from ..core.hashtable import ADD_COLLISION, ADD_DUPLICATE, HashTable, calc_dist_and_type
+from ..core.hashtable import (
+    ADD_COLLISION,
+    ADD_DUPLICATE,
+    HashTable,
+    NativeHashTable,
+    calc_dist_and_type,
+    make_hash_table,
+)
 from . import protocol as proto
 
 
@@ -61,7 +68,7 @@ class DPServer:
         self.validate_points = validate_points
         self.rejected = 0
 
-        self.hash_table = HashTable()
+        self.hash_table = make_hash_table()
         self.lock = threading.Lock()
         self.recv_dp: List[proto.DPRecord] = []
         self.connected_clients = 0
@@ -263,6 +270,20 @@ class DPServer:
                 good.append(rec)
         return good
 
+    def _resolve_collision(self, d_new: int, d_old: int) -> None:
+        d1, t1 = calc_dist_and_type(d_old)
+        d2, t2 = calc_dist_and_type(d_new)
+        dead, res = collision_check(
+            d1, t1, d2, t2,
+            self.key_to_search, self.key_to_search_neg,
+            self.range_start,
+        )
+        if res is not None:
+            self.result = res
+            self.end_of_search = True
+        elif dead:
+            self.dead += 1
+
     # -- DP drain loop (reference: ProcessServer, Thread.cpp:165) ---------
     def _process_once(self) -> None:
         with self.lock:
@@ -270,6 +291,25 @@ class DPServer:
             self.recv_dp = []
         if self.validate_points and cache:
             cache = self._validate(cache)
+        if cache and isinstance(self.hash_table, NativeHashTable):
+            # one native call per chunk instead of a Python insert per
+            # record -- the path that keeps hundreds of clients fed
+            chunk = 32768
+            for off in range(0, len(cache), chunk):
+                part = cache[off:off + chunk]
+                recs = b"".join(
+                    NativeHashTable.pack_record(r.h, r.x128, r.d128)
+                    for r in part
+                )
+                _, _, dup_total, colls = self.hash_table.add_batch_raw(
+                    recs, len(part)
+                )
+                self.dead += dup_total
+                for x128, d_new, d_old, idx in colls:
+                    self._resolve_collision(d_new, d_old)
+                    if self.end_of_search:
+                        return
+            return
         for rec in cache:
             if self.end_of_search:
                 break
@@ -308,7 +348,7 @@ class DPServer:
         table = self.hash_table
         if self.split_work_file:
             name = self.work_file + "_" + time.strftime("%d%b%y_%H%M%S")
-            self.hash_table = HashTable()
+            self.hash_table = make_hash_table()
         hdr = WorkHeader(
             self.dp_size, self.range_start, self.range_end,
             self.cfg.keys[self.key_idx], 0, 0.0,

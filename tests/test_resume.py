@@ -309,3 +309,74 @@ def test_chunked_pull_solves():
     # with dp 2 and 256 lanes x 8 steps, hits per tick >> 128, so the
     # chunk path really ran
     assert s.hash_table.n_items() > 128
+
+
+def test_native_table_drain_matches_python():
+    """The vectorized native drain and the per-item Python drain must
+    produce identical tables, dead counts, and solve results."""
+    from kangaroo_tpu.core.hashtable import HashTable, NativeHashTable
+
+    try:
+        NativeHashTable()
+    except Exception:
+        pytest.skip("native table unavailable")
+
+    # a 40-bit range is not solvable in 12 ticks, so both drains
+    # process every batch to completion (a mid-batch solve would stop
+    # the python path early by design)
+    big_start, big_width = 0x8000000000, (1 << 40) - 1
+
+    def run(table):
+        cfg = ProblemConfig(
+            big_start, big_start + big_width,
+            [curve.mul(big_start + 12345)],
+        )
+        opts = SolverOptions(
+            nb_kangaroo=128, dp_size=2, nb_run=8, seed=77, n_devices=1,
+            quiet=True,
+        )
+        s = KangarooSolver(cfg, opts)
+        s.hash_table = table
+        s.solve(0, max_ticks=12)
+        return s
+
+    s_py = run(HashTable())
+    s_nat = run(NativeHashTable())
+    assert isinstance(s_nat.hash_table, NativeHashTable)
+    assert list(s_py.hash_table.iter_sorted()) == list(
+        s_nat.hash_table.iter_sorted()
+    )
+    assert s_py.stats.dead == s_nat.stats.dead
+    assert s_py.stats.count == s_nat.stats.count
+
+
+def test_native_table_drain_matches_python_symmetry():
+    from kangaroo_tpu.core.hashtable import HashTable, NativeHashTable
+
+    try:
+        NativeHashTable()
+    except Exception:
+        pytest.skip("native table unavailable")
+
+    big_start, big_width = 0x8000000000, (1 << 40) - 1
+
+    def run(table):
+        cfg = ProblemConfig(
+            big_start, big_start + big_width,
+            [curve.mul(big_start + 54321)],
+        )
+        opts = SolverOptions(
+            nb_kangaroo=128, dp_size=2, nb_run=8, seed=78, n_devices=1,
+            quiet=True, symmetry=True,
+        )
+        s = KangarooSolver(cfg, opts)
+        s.hash_table = table
+        s.solve(0, max_ticks=12)
+        return s
+
+    s_py = run(HashTable())
+    s_nat = run(NativeHashTable())
+    assert list(s_py.hash_table.iter_sorted()) == list(
+        s_nat.hash_table.iter_sorted()
+    )
+    assert s_py.stats.dead == s_nat.stats.dead
