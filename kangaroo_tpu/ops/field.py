@@ -316,6 +316,55 @@ def mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return _fit(terms[0], out_rows)
 
 
+# Lane width at or below which mulmod routes through the outer-3D
+# column builder.  Narrow whole-array ops are LATENCY-bound on the VPU
+# (a (16,128) op costs ~1 issue + ~6 cycles of dependent latency, same
+# as a (16,512) op), so the ~150-op dependent chain of the schoolbook
+# tree dominates the fold-tree's narrow levels.  The outer-3D form
+# computes all 256 partial products in ONE multiply on a (16,16,W)
+# array and sums them with a 4-level contiguous-halves tree (~15 wide
+# ops), trading element count for a 10x shorter dependency chain.
+OUTER_THRESH = int(__import__("os").environ.get("KT_OUTER", "0"))
+_FINRED = __import__("os").environ.get("KT_FINRED", "0") == "1"
+
+
+def mul_columns_outer(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Schoolbook columns via one outer-product multiply (narrow lanes).
+
+    a, b: (16, W) 16-bit limbs.  Returns (32, W) relaxed columns
+    (< 2^21), same contract as mul_columns.  All partial products
+    a_i*b_j are computed in a single (16,16,W) whole-array multiply;
+    the shifted accumulation runs as a contiguous-halves tree over the
+    outer (i) axis with group-local row shifts, so the whole build is
+    ~15 wide ops instead of a ~150-op narrow dependent chain.
+    """
+    w = a.shape[1]
+    a3 = jnp.broadcast_to(a.reshape(16, 1, w), (16, 16, w))
+    b3 = jnp.broadcast_to(b.reshape(1, 16, w), (16, 16, w))
+    t = a3 * b3                        # t[i, j] = a_i * b_j, 32-bit exact
+    lo = t & _M16
+    hi = t >> 16
+    # group i holds value sum_j (lo[i,j] + hi[i,j]*2^16) * 2^16j at
+    # rows j / j+1 of a 32-row window based at limb i
+    z = jnp.zeros((16, 1, w), jnp.uint32)
+    z15 = jnp.zeros((16, 15, w), jnp.uint32)
+    cur = jnp.concatenate([lo, jnp.zeros((16, 16, w), jnp.uint32)], axis=1)
+    cur = cur + jnp.concatenate([z, hi, z15], axis=1)   # (16, 32, W)
+    # contiguous-halves tree: merge group g with group g+G/2 shifted by
+    # G/2 limbs; row occupancy grows 17 -> 25 -> 29 -> 31 -> 32, so no
+    # shifted row ever leaves the 32-row window
+    g = 16
+    while g > 1:
+        s = g // 2
+        shifted = jnp.concatenate(
+            [jnp.zeros((s, s, w), jnp.uint32), cur[s:, : 32 - s, :]],
+            axis=1,
+        )
+        cur = cur[:s] + shifted
+        g = s
+    return cur.reshape(32, w)
+
+
 def sqr_columns(a: jnp.ndarray) -> jnp.ndarray:
     """Squaring columns via the symmetric (triangular) shortcut.
 
@@ -414,10 +463,41 @@ def reduce_512(
             + _fit(_M16 ^ b, 17)
             + _fit(_one_row0(b), 17)
         )
-    g = _carry_full(g, 17)
     if relaxed_out:
+        g = _carry_full(g, 17)
         return g
+    if _FINRED:
+        return _finish_reduce(g)
+    g = _carry_full(g, 17)
     return _fold_small_arr(g[:16], g[16])
+
+
+def _finish_reduce(g: jnp.ndarray) -> jnp.ndarray:
+    """Finish a reduction: (17, N) fold-2 columns -> 16 rows < 2^256.
+
+    Contract: g rows 0..15 < 2^28 (relaxed fold-2 columns, possibly
+    with fused subtrahends), row 16 == 0, total value < 2^262.
+
+    Replaces the former carry_full + _fold_small_arr tail (two relaxed
+    passes + THREE dependent exact carries) with one relaxed pass, one
+    fold, and TWO exact carries that are INDEPENDENT of each other:
+    e_a resolves the fold; e_b resolves fold+c; the 2^256 carry-out of
+    e_a selects between them.  Correct because when e_a carries out
+    (value >= 2^256) the desired result is value + c - 2^256, which is
+    exactly e_b's low 16 rows (e_b < 2^257 so its top is the same
+    carry).  Saves ~240 element-ops per reduction and shortens the
+    serial carry chain 3 -> 1 -- the latter is what the latency-bound
+    narrow fold-tree levels feel.
+    """
+    r1 = _carry1(g, 17)
+    # limbs < 2^16 + 2^12; row16 < 2^6 by the value bound (all rows
+    # non-negative, so 2^256*row16 <= value < 2^262)
+    f2 = r1[:16] + _embed_c(r1[16])
+    # limb0 < 2^16 + 2^12 + 977*2^6 <= 2^17 - 2: packed-carry bound ok
+    e_a = _carry_exact(_fit(f2, 17), 17)
+    e_b = _carry_exact(_fit(f2 + _embed_c(jnp.ones_like(f2[0])), 17), 17)
+    take_b = (e_a[16] == 1)[None, :]
+    return jnp.where(take_b, e_b[:16], e_a[:16])
 
 
 def canonicalize(x: jnp.ndarray) -> jnp.ndarray:
@@ -431,7 +511,15 @@ def mulmod(a: jnp.ndarray, b: jnp.ndarray,
     """(a*b - sum(sub)) mod p, relaxed (< 2^256; 17-row chain form
     < 2^260 when relaxed_out).  Inputs: 16-row values < 2^256 or
     17-row chain values from a relaxed_out multiply."""
-    return reduce_512(mul_columns(a, b), sub=sub, relaxed_out=relaxed_out)
+    if (
+        a.shape[0] == 16
+        and b.shape[0] == 16
+        and a.shape[1] <= OUTER_THRESH
+    ):
+        cols = mul_columns_outer(a, b)
+    else:
+        cols = mul_columns(a, b)
+    return reduce_512(cols, sub=sub, relaxed_out=relaxed_out)
 
 
 def sqrmod(a: jnp.ndarray, sub: Sequence[jnp.ndarray] = (),

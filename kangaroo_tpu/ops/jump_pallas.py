@@ -40,6 +40,54 @@ from .jump_ref import is_dp
 DEFAULT_BLOCK = 4096
 # Fold the inversion tree down to this many lanes before divstep.
 INV_STOP = 128
+# Independent sub-herd pipelines per block.  The 128-lane divstep is a
+# LATENCY-bound chain of ~3k tiny ops (~11 us, ~23% of a block step)
+# while the mulmods are throughput-bound; running two independent
+# lane-halves through the step lets Mosaic's scheduler hide one
+# half's divstep under the other half's multiplies.  Bit-identical to
+# splits=1: each lane's walk never mixes with other lanes beyond the
+# batched-inversion grouping, and every inverse is exact.
+SPLITS = int(__import__("os").environ.get("KT_SPLITS", "1"))
+# Perf-probe hook (scripts/pkprobe.py): adds one labelled extra
+# operation per step INSIDE the production kernel so component costs
+# are attributed under real register/VMEM pressure (isolated-harness
+# deltas proved misleading).  Empty in production.
+_PROBE = __import__("os").environ.get("KT_PROBE", "")
+
+
+def _probe_extra(px, py):
+    """Extra per-step work selected by KT_PROBE; returns replacement py."""
+    if _PROBE == "divstep":
+        r = field.modinv(py[:, :128] | jnp.uint32(1))
+        return jnp.concatenate([r ^ py[:, :128], py[:, 128:]], axis=1)
+    if _PROBE == "inv":
+        return field.batch_inv(py | jnp.uint32(1), stop=128) ^ px
+    if _PROBE == "mul":
+        return field.mulmod(py, px)
+    if _PROBE == "narrow9":
+        t = py[:, :512] | jnp.uint32(1)
+        a5 = field.mulmod(t[:, :256], t[:, 256:])
+        a6 = field.mulmod(a5[:, :128], a5[:, 128:])
+        u1 = field.mulmod(a6, a5[:, :128])
+        u2 = field.mulmod(a6, a5[:, 128:])
+        u3 = field.mulmod(jnp.concatenate([u1, u2], axis=1), a5)
+        u4 = field.mulmod(u3, t[:, :256])
+        u5 = field.mulmod(u3, t[:, 256:])
+        return jnp.concatenate(
+            [u4 ^ py[:, :256], u5 ^ py[:, 256:512], py[:, 512:]], axis=1
+        )
+    if _PROBE == "wide3":
+        t = py | jnp.uint32(1)
+        w1 = field.mulmod(t[:, : t.shape[1] // 2], t[:, t.shape[1] // 2:])
+        w2 = field.mulmod(w1[:, : w1.shape[1] // 2], w1[:, w1.shape[1] // 2:])
+        w3 = field.mulmod(w2, w1[:, : w1.shape[1] // 2])
+        half = jnp.concatenate([w2 ^ w3, w3], axis=1)
+        return jnp.concatenate([half ^ w1, py[:, w1.shape[1]:]], axis=1)
+    if _PROBE == "carry":
+        return field._carry_exact(py, 16)
+    if _PROBE == "sub":
+        return field.submod(py, px)
+    return py
 
 
 def _gather_onehot(jmp: jnp.ndarray, tbl: jnp.ndarray) -> jnp.ndarray:
@@ -76,28 +124,30 @@ def _jump_kernel(
     px_ref, py_ref, d_ref, sc_ref,
     opx_ref, opy_ref, od_ref, osc_ref,
     cnt_ref, dpx_ref, dpd_ref, step_ref,
-    *, nb_run: int, symmetry: bool, slots: int,
+    *, nb_run: int, symmetry: bool, slots: int, splits: int,
 ):
-    px = px_ref[:, :]
-    py = py_ref[:, :]
-    d = d_ref[:, :]
-    sc = sc_ref[0, :]
     jx = jx_ref[:, :]
     jy = jy_ref[:, :]
     jd = jd_ref[:, :]
     masks = mask_ref[0, :]
-    n = px.shape[1]
-
-    count = jnp.zeros((n,), dtype=jnp.uint32)
-    dpx = jnp.zeros((slots * 16, n), dtype=jnp.uint32)
-    dpd = jnp.zeros((slots * 8, n), dtype=jnp.uint32)
-    dstep = jnp.zeros((slots, n), dtype=jnp.uint32)
+    n = px_ref.shape[1]
+    h = n // splits
     # one fused gather per step: stack the three jump tables so a
     # single one-hot build and one lo/hi dot pair fetch qx|qy|qd
     jtbl = jnp.concatenate([jx, jy, jd], axis=0)  # (40, 32)
 
-    def body(i, state):
-        px, py, d, sc, count, dpx, dpd, dstep = state
+    # DP slots are initialized once and then READ-MODIFY-WRITTEN in
+    # VMEM inside the loop: keeping them as loop-carried values held
+    # ~51 rows x block live across every step, and that register/VMEM
+    # pressure made every other op in the kernel ~3x its isolated cost
+    # (measured with the KT_PROBE deltas).
+    dpx_ref[:, :] = jnp.zeros((slots * 16, n), jnp.uint32)
+    dpd_ref[:, :] = jnp.zeros((slots * 8, n), jnp.uint32)
+    step_ref[:, :] = jnp.zeros((slots, n), jnp.uint32)
+
+    def advance(i, st, lanes):
+        """One jump for one independent sub-herd of h lanes."""
+        px, py, d, sc, count = st
         if symmetry:
             jmp = (px[0] & jnp.uint32(NB_JUMP // 2 - 1)) + (
                 sc * jnp.uint32(NB_JUMP // 2)
@@ -108,10 +158,12 @@ def _jump_kernel(
         qx, qy, qd = q[:16], q[16:32], q[32:40]
 
         x3, y3 = jump_ref_mod.affine_add_walk(
-            px, py, qx, qy, inv_stop=min(INV_STOP, n)
+            px, py, qx, qy, inv_stop=min(INV_STOP, h)
         )
         d = field.add_u128(d, qd)
         px, py = x3, y3
+        if _PROBE:
+            py = _probe_extra(px, py)
         if symmetry:
             # equivalence-class normalization (Kangaroo.cpp:422-428)
             pyc = field.canonicalize(py)
@@ -122,43 +174,49 @@ def _jump_kernel(
             sc = sc ^ high
 
         hit = is_dp(px, masks)
-        sl = [hit & (count == jnp.uint32(s)) for s in range(slots)]
-        dpx = jnp.concatenate(
-            [
-                jnp.where(sl[s][None, :], px, dpx[16 * s:16 * (s + 1)])
-                for s in range(slots)
-            ],
-            axis=0,
-        )
-        dpd = jnp.concatenate(
-            [
-                jnp.where(sl[s][None, :], d, dpd[8 * s:8 * (s + 1)])
-                for s in range(slots)
-            ],
-            axis=0,
-        )
-        dstep = jnp.concatenate(
-            [
-                jnp.where(sl[s], jnp.uint32(i), dstep[s])[None, :]
-                for s in range(slots)
-            ],
-            axis=0,
-        )
+        for s in range(slots):
+            sl = hit & (count == jnp.uint32(s))
+            slm = sl[None, :]
+            dpx_ref[16 * s:16 * (s + 1), lanes] = jnp.where(
+                slm, px, dpx_ref[16 * s:16 * (s + 1), lanes]
+            )
+            dpd_ref[8 * s:8 * (s + 1), lanes] = jnp.where(
+                slm, d, dpd_ref[8 * s:8 * (s + 1), lanes]
+            )
+            step_ref[s:s + 1, lanes] = jnp.where(
+                slm, jnp.uint32(i), step_ref[s:s + 1, lanes]
+            )
         count = count + hit.astype(jnp.uint32)
-        return px, py, d, sc, count, dpx, dpd, dstep
+        return px, py, d, sc, count
 
-    px, py, d, sc, count, dpx, dpd, dstep = jax.lax.fori_loop(
-        0, nb_run, body, (px, py, d, sc, count, dpx, dpd, dstep)
+    def init_state(s):
+        lanes = slice(s * h, (s + 1) * h)
+        return (
+            px_ref[:, lanes],
+            py_ref[:, lanes],
+            d_ref[:, lanes],
+            sc_ref[0, lanes],
+            jnp.zeros((h,), dtype=jnp.uint32),
+        )
+
+    def body(i, states):
+        # the sub-herds are fully independent: the scheduler can hide
+        # one's latency-bound divstep under another's wide multiplies
+        return tuple(
+            advance(i, st, slice(s * h, (s + 1) * h))
+            for s, st in enumerate(states)
+        )
+
+    states = jax.lax.fori_loop(
+        0, nb_run, body, tuple(init_state(s) for s in range(splits))
     )
 
-    opx_ref[:, :] = px
-    opy_ref[:, :] = py
-    od_ref[:, :] = d
-    osc_ref[:, :] = sc[None, :]
-    cnt_ref[:, :] = count[None, :]
-    dpx_ref[:, :] = dpx
-    dpd_ref[:, :] = dpd
-    step_ref[:, :] = dstep
+    cat = lambda k: jnp.concatenate([st[k] for st in states], axis=-1)
+    opx_ref[:, :] = cat(0)
+    opy_ref[:, :] = cat(1)
+    od_ref[:, :] = cat(2)
+    osc_ref[:, :] = cat(3)[None, :]
+    cnt_ref[:, :] = cat(4)[None, :]
 
 
 @functools.partial(
@@ -184,6 +242,9 @@ def jump_steps_with_dp(
     blk = min(block, n)
     assert n % blk == 0, "herd size must be a multiple of the block size"
     grid = (n // blk,)
+    splits = max(1, SPLITS)
+    while splits > 1 and (blk % splits or (blk // splits) < 2 * INV_STOP):
+        splits //= 2
 
     state_spec = lambda rows: pl.BlockSpec(
         (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -219,7 +280,8 @@ def jump_steps_with_dp(
     ]
 
     kernel = functools.partial(
-        _jump_kernel, nb_run=nb_run, symmetry=symmetry, slots=slots
+        _jump_kernel, nb_run=nb_run, symmetry=symmetry, slots=slots,
+        splits=splits,
     )
     kw = {}
     if not interpret:

@@ -104,6 +104,32 @@ def make_kernel(variant: str, nb_run: int):
                 )
             if variant == "extra_mul":
                 y3 = field.mulmod(y3, lam)
+            if variant == "extra_inv":
+                y3 = field.batch_inv(y3 | jnp.uint32(1), stop=inv_stop)
+            if variant == "extra_divstep":
+                r = field.modinv(y3[:, :128] | jnp.uint32(1))
+                y3 = jnp.concatenate([r, y3[:, 128:]], axis=1)
+            if variant == "extra_narrow9":
+                # the narrow-call pattern of one fold tree: 3 down
+                # (512/256/128) + 3 up-level pairs (128/256/512)
+                t = y3[:, :512] | jnp.uint32(1)
+                a5 = field.mulmod(t[:, :256], t[:, 256:])
+                a6 = field.mulmod(a5[:, :128], a5[:, 128:])
+                u1 = field.mulmod(a6, a5[:, :128])
+                u2 = field.mulmod(a6, a5[:, 128:])
+                u3 = field.mulmod(jnp.concatenate([u1, u2], axis=1), a5)
+                u4 = field.mulmod(u3, t[:, :256])
+                u5 = field.mulmod(u3, t[:, 256:])
+                y3 = jnp.concatenate(
+                    [u4, u5, y3[:, 512:]], axis=1
+                )
+            if variant == "extra_wide3":
+                # the wide-call pattern: 2048 + 2x1024 lanes
+                t = y3 | jnp.uint32(1)
+                w1 = field.mulmod(t[:, :2048], t[:, 2048:])
+                w2 = field.mulmod(w1[:, :1024], w1[:, 1024:])
+                w3 = field.mulmod(w2, w1[:, :1024])
+                y3 = jnp.concatenate([w1[:, :1024] ^ w3, w2, w3, w2], axis=1)
             if variant == "extra_sub":
                 y3 = field.submod(y3, lam)
             if variant == "extra_carry":
