@@ -326,6 +326,8 @@ def mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # ops), trading element count for a 10x shorter dependency chain.
 OUTER_THRESH = int(__import__("os").environ.get("KT_OUTER", "0"))
 _FINRED = __import__("os").environ.get("KT_FINRED", "0") == "1"
+RELAX_CHAIN = __import__("os").environ.get("KT_RELAX", "0") == "1"
+COTREE = __import__("os").environ.get("KT_COTREE", "0") == "1"
 
 
 def mul_columns_outer(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -737,6 +739,57 @@ def batch_inv(a: jnp.ndarray, stop: int = 1024,
         inv_hi = mulmod(root_inv, lo, relaxed_out=rx)
         root_inv = jnp.concatenate([inv_lo, inv_hi], axis=1)
     return root_inv
+
+
+def batch_div(num: jnp.ndarray, den: jnp.ndarray,
+              stop: int = 128) -> jnp.ndarray:
+    """(num / den) mod p per lane via a co-tree batched inversion.
+
+    Same multiply count as batch_inv + mulmod, but a far shorter
+    CRITICAL PATH: the classic up-sweep is a serial chain of
+    log2(N/stop) levels that can only start after the divstep, while
+    the co-tree (cot[lane] = product of the lane's fold-tree path
+    siblings) depends only on the down-products, so it runs
+    CONCURRENTLY with the divstep; after the root inversion only TWO
+    dependent multiplies remain:
+
+        den^-1[lane] = cot[lane] * root_inv[lane mod stop]
+        num/den      = (num * cot) * tile(root_inv)
+
+    The production kernel is priced by its serial dependency chain
+    (see ROUND_NOTES session-2 measurements), so removing ~5 dependent
+    up-sweep levels is worth far more than the one extra wide multiply
+    this costs.  Value-exact: multiplication mod p is associative, so
+    num/den mod p is identical to the up-sweep result (the relaxed
+    representative may differ; the walk only consumes values mod p and
+    the canonical x).  Zero denominators yield zero (as batch_inv).
+    """
+    n = den.shape[1]
+    if n <= stop or n % 2:
+        return mulmod(num, batch_inv(den, stop=stop))
+    levels = []
+    cur = den
+    while cur.shape[1] > stop and cur.shape[1] % 2 == 0:
+        half = cur.shape[1] // 2
+        levels.append(cur)
+        cur = mulmod(cur[:, :half], cur[:, half:])
+    root_inv = modinv(cur)          # latency-bound divstep chain
+    # co-tree, top-down; independent of root_inv so the scheduler can
+    # overlap it with the divstep
+    cot = None
+    for lev in reversed(levels):
+        half = lev.shape[1] // 2
+        lo, hi = lev[:, :half], lev[:, half:]
+        if cot is None:
+            cot = jnp.concatenate([hi, lo], axis=1)
+        else:
+            cot = jnp.concatenate(
+                [mulmod(cot, hi), mulmod(cot, lo)], axis=1
+            )
+    e = mulmod(num, cot)
+    reps = n // cur.shape[1]
+    tiled = jnp.concatenate([root_inv] * reps, axis=1)
+    return mulmod(e, tiled)
 
 
 # ----------------------------------------------------------------------

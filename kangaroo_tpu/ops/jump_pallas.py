@@ -37,9 +37,9 @@ from .jump_ref import is_dp
 
 # Lanes per kernel block.  VMEM budget: state + temporaries + DP slots
 # come to ~1.3 KB/lane, so 4096 lanes ~ 5.5 MB.
-DEFAULT_BLOCK = 4096
+DEFAULT_BLOCK = int(__import__("os").environ.get("KT_BLOCK", "4096"))
 # Fold the inversion tree down to this many lanes before divstep.
-INV_STOP = 128
+INV_STOP = int(__import__("os").environ.get("KT_INVSTOP", "128"))
 # Independent sub-herd pipelines per block.  The 128-lane divstep is a
 # LATENCY-bound chain of ~3k tiny ops (~11 us, ~23% of a block step)
 # while the mulmods are throughput-bound; running two independent
@@ -55,8 +55,17 @@ SPLITS = int(__import__("os").environ.get("KT_SPLITS", "1"))
 _PROBE = __import__("os").environ.get("KT_PROBE", "")
 
 
-def _probe_extra(px, py):
+def _probe_extra(px, py, qx=None, qy=None):
     """Extra per-step work selected by KT_PROBE; returns replacement py."""
+    if _PROBE == "mulq":
+        # INDEPENDENT extra mulmod: operands ready right after the
+        # gather, result only folded into py at the end of the step --
+        # off the critical path.  Distinguishes latency-bound from
+        # throughput-bound kernels: ~free if latency, ~20us if not.
+        return py ^ field.mulmod(qx, qy)
+    if _PROBE == "mulq2":
+        r = field.mulmod(qx, qy)
+        return py ^ field.mulmod(r, qx)
     if _PROBE == "divstep":
         r = field.modinv(py[:, :128] | jnp.uint32(1))
         return jnp.concatenate([r ^ py[:, :128], py[:, 128:]], axis=1)
@@ -163,7 +172,7 @@ def _jump_kernel(
         d = field.add_u128(d, qd)
         px, py = x3, y3
         if _PROBE:
-            py = _probe_extra(px, py)
+            py = _probe_extra(px, py, qx, qy)
         if symmetry:
             # equivalence-class normalization (Kangaroo.cpp:422-428)
             pyc = field.canonicalize(py)
