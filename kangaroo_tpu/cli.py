@@ -29,6 +29,9 @@ def print_usage() -> None:
  -nk n: Number of kangaroos (herd lanes on device), default 2^18
  -nbrun n: Jumps per device tick (default: auto from DP size)
  -backend xla|pallas: Jump kernel backend (default pallas on TPU)
+ -platform name: Force the JAX platform (e.g. cpu, tpu) before device
+       init; use "-platform cpu" to run on hosts whose accelerator is
+       absent or unreachable
  -sym: Equivalence-class walk over {P,-P} (~sqrt(2) speedup; work files
        are NOT compatible with non-symmetric runs)
  -devices n: Number of mesh devices to use (default all)
@@ -117,6 +120,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             i += 1; nb_run = int(_arg(argv, i, a))
         elif a == "-backend":
             i += 1; backend = _arg(argv, i, a)
+        elif a == "-platform":
+            # must land before the first jax backend use; a plain env
+            # var does not override an ambient sitecustomize pin
+            i += 1
+            plat = _arg(argv, i, a)
+            import jax
+
+            jax.config.update("jax_platforms", plat)
         elif a == "-sym":
             symmetry = True
         elif a == "-devices":

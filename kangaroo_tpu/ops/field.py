@@ -507,12 +507,47 @@ def canonicalize(x: jnp.ndarray) -> jnp.ndarray:
     return _cond_sub_p_arr(x)
 
 
+# Lane-chunk width for wide multiplies inside the Pallas kernel.  A
+# wide (e.g. 4096-lane) mulmod materializes every intermediate at full
+# width; computed in W-lane chunks the chunk intermediates stay
+# VMEM/register resident, which the KT_PROBE deltas measured ~23%
+# cheaper per mulmod at W=512 (including the output concat).  0 = off.
+MUL_CHUNK = int(__import__("os").environ.get("KT_MULW", "0"))
+
+
+def _lane_chunks(w: int, fn, out_parts=1):
+    """Apply fn to lane chunks of width w and concat the results."""
+    def run(*arrs):
+        n = arrs[0].shape[1]
+        if not w or n <= w or n % w:
+            return fn(*arrs)
+        parts = [
+            fn(*(x[:, j:j + w] for x in arrs)) for j in range(0, n, w)
+        ]
+        if out_parts == 1:
+            return jnp.concatenate(parts, axis=1)
+        return tuple(
+            jnp.concatenate([p[k] for p in parts], axis=1)
+            for k in range(out_parts)
+        )
+    return run
+
+
 def mulmod(a: jnp.ndarray, b: jnp.ndarray,
            sub: Sequence[jnp.ndarray] = (),
            relaxed_out: bool = False) -> jnp.ndarray:
     """(a*b - sum(sub)) mod p, relaxed (< 2^256; 17-row chain form
     < 2^260 when relaxed_out).  Inputs: 16-row values < 2^256 or
     17-row chain values from a relaxed_out multiply."""
+    if MUL_CHUNK and a.shape[1] > MUL_CHUNK:
+        return _lane_chunks(
+            MUL_CHUNK,
+            lambda aa, bb, *ss: _mulmod1(aa, bb, ss, relaxed_out),
+        )(a, b, *sub)
+    return _mulmod1(a, b, sub, relaxed_out)
+
+
+def _mulmod1(a, b, sub, relaxed_out):
     if (
         a.shape[0] == 16
         and b.shape[0] == 16
@@ -527,6 +562,13 @@ def mulmod(a: jnp.ndarray, b: jnp.ndarray,
 def sqrmod(a: jnp.ndarray, sub: Sequence[jnp.ndarray] = (),
            relaxed_out: bool = False) -> jnp.ndarray:
     """(a^2 - sum(sub)) mod p, relaxed."""
+    if MUL_CHUNK and a.shape[1] > MUL_CHUNK:
+        return _lane_chunks(
+            MUL_CHUNK,
+            lambda aa, *ss: reduce_512(
+                sqr_columns(aa), sub=ss, relaxed_out=relaxed_out
+            ),
+        )(a, *sub)
     return reduce_512(sqr_columns(a), sub=sub, relaxed_out=relaxed_out)
 
 

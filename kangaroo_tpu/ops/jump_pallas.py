@@ -48,6 +48,12 @@ INV_STOP = int(__import__("os").environ.get("KT_INVSTOP", "128"))
 # splits=1: each lane's walk never mixes with other lanes beyond the
 # batched-inversion grouping, and every inverse is exact.
 SPLITS = int(__import__("os").environ.get("KT_SPLITS", "1"))
+# Lane-chunk width for the walk tail (lam/x3/y3) after the shared
+# batched inversion: the tail is elementwise in lanes, so computing it
+# in W-lane chunks keeps each chunk's intermediates VMEM-resident with
+# ONE concat per carried array instead of one per mulmod.  Composes
+# with field.MUL_CHUNK (which chunks the inversion tree's wide muls).
+WALKW = int(__import__("os").environ.get("KT_WALKW", "0"))
 # Perf-probe hook (scripts/pkprobe.py): adds one labelled extra
 # operation per step INSIDE the production kernel so component costs
 # are attributed under real register/VMEM pressure (isolated-harness
@@ -73,6 +79,16 @@ def _probe_extra(px, py, qx=None, qy=None):
         return field.batch_inv(py | jnp.uint32(1), stop=128) ^ px
     if _PROBE == "mul":
         return field.mulmod(py, px)
+    if _PROBE.startswith("mulc"):
+        # same dependent wide mulmod, computed in lane CHUNKS of width w:
+        # tests whether chunk-sized intermediates stay register-resident
+        # (wide-op VMEM spill traffic is the hypothesized cost currency)
+        w = int(_PROBE[4:])
+        parts = [
+            field.mulmod(py[:, j:j + w], px[:, j:j + w])
+            for j in range(0, py.shape[1], w)
+        ]
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     if _PROBE == "narrow9":
         t = py[:, :512] | jnp.uint32(1)
         a5 = field.mulmod(t[:, :256], t[:, 256:])
@@ -166,9 +182,28 @@ def _jump_kernel(
         q = _gather_onehot(jmp, jtbl)
         qx, qy, qd = q[:16], q[16:32], q[32:40]
 
-        x3, y3 = jump_ref_mod.affine_add_walk(
-            px, py, qx, qy, inv_stop=min(INV_STOP, h)
-        )
+        if WALKW and h > WALKW and h % WALKW == 0:
+            dx = field.submod(qx, px)
+            inv = field.batch_inv(dx, stop=min(INV_STOP, h))
+            xs, ys = [], []
+            for j in range(0, h, WALKW):
+                sl = slice(j, j + WALKW)
+                lam = field.mulmod(
+                    field.submod(qy[:, sl], py[:, sl]), inv[:, sl]
+                )
+                xc = field.canonicalize(
+                    field.sqrmod(lam, sub=(px[:, sl], qx[:, sl]))
+                )
+                ys.append(field.mulmod(
+                    lam, field.submod(qx[:, sl], xc), sub=(qy[:, sl],)
+                ))
+                xs.append(xc)
+            x3 = jnp.concatenate(xs, axis=1)
+            y3 = jnp.concatenate(ys, axis=1)
+        else:
+            x3, y3 = jump_ref_mod.affine_add_walk(
+                px, py, qx, qy, inv_stop=min(INV_STOP, h)
+            )
         d = field.add_u128(d, qd)
         px, py = x3, y3
         if _PROBE:
