@@ -310,8 +310,15 @@ def run_self_check(verbose: bool = True) -> bool:
         elif verbose:
             print(f"Check: {name} OK ({n} lanes)")
 
-    # batched scalar mult vs host double-and-add
-    ks = [rnd.randrange(1, N_ORDER) for _ in range(128)]
+    # batched scalar mult vs host double-and-add.  The reference checks
+    # batched-vs-single consistency over 16384 keys (Check.cpp:428-457);
+    # here every key is verified against an independent host big-int
+    # ladder, so 2048 keys give a stronger per-key oracle at similar
+    # coverage of the GTable window/batch logic.
+    import jax
+
+    n_scalar = 2048 if jax.devices()[0].platform == "tpu" else 256
+    ks = [rnd.randrange(1, N_ORDER) for _ in range(n_scalar)]
     gx, gy, _ = ec.scalar_mult_base_batch(jnp.asarray(ints_to_limbs(ks)))
     gx_i = limbs_to_ints_fast(np.asarray(gx))
     gy_i = limbs_to_ints_fast(np.asarray(gy))
@@ -324,7 +331,7 @@ def run_self_check(verbose: bool = True) -> bool:
             break
     else:
         if verbose:
-            print("Check: scalar_mult_base_batch OK (128 keys)")
+            print(f"Check: scalar_mult_base_batch OK ({n_scalar} keys)")
 
     # walk lockstep: batched jump step vs host scalar replay
     range_power = 64
