@@ -315,7 +315,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     suggested_dp = solver.suggest_dp(nk)
     if opts.dp_size < 0:
         print(f"Suggested DP: {suggested_dp}")
-        opts.dp_size = solver.balanced_dp(nk)
+        opts.dp_size = solver.balanced_dp(nk, suggested=suggested_dp)
         if opts.dp_size != suggested_dp:
             # our DP drain costs ~us per point (host + device relay),
             # not ~100 ns like the reference's in-process insert, so

@@ -274,6 +274,7 @@ def run_self_check(verbose: bool = True) -> bool:
     """
     import random
 
+    import jax
     import jax.numpy as jnp
 
     from ..ops import ec, field, jump_ref
@@ -315,9 +316,8 @@ def run_self_check(verbose: bool = True) -> bool:
     # here every key is verified against an independent host big-int
     # ladder, so 2048 keys give a stronger per-key oracle at similar
     # coverage of the GTable window/batch logic.
-    import jax
-
-    n_scalar = 2048 if jax.devices()[0].platform == "tpu" else 256
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n_scalar = 2048 if on_tpu else 256
     ks = [rnd.randrange(1, N_ORDER) for _ in range(n_scalar)]
     gx, gy, _ = ec.scalar_mult_base_batch(jnp.asarray(ints_to_limbs(ks)))
     gx_i = limbs_to_ints_fast(np.asarray(gx))
@@ -375,9 +375,7 @@ def run_self_check(verbose: bool = True) -> bool:
     # vs the XLA reference, production-shaped window.  Interpret mode
     # (non-TPU) pays a Python-per-step cost, so it runs a smaller but
     # still overflow-exercising window.
-    import jax as _jax
-
-    if _jax.devices()[0].platform == "tpu":
+    if on_tpu:
         ok = pallas_lockstep_check(verbose=verbose) and ok
     else:
         ok = pallas_lockstep_check(

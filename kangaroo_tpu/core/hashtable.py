@@ -119,11 +119,12 @@ class NativeHashTable:
     kept for API parity (hot paths should use add_batch_raw).
     """
 
-    #: collision/duplicate report capacities per batch call; totals are
-    #: always exact, only the reported indices/pairs are capped (the
-    #: caller re-runs oversized batches in halves)
-    MAX_COLL = 1024
-    MAX_DUP = 65536
+    #: records per native call: report buffers are sized to the chunk,
+    #: so every duplicate/collision is always reported (no cap to hit
+    #: -- a dropped collision pair could silently lose a solving
+    #: tame/wild pair, and re-running is not an option because the
+    #: batch's non-colliding entries were already inserted)
+    CALL_CHUNK = 65536
 
     def __init__(self):
         import threading
@@ -166,46 +167,45 @@ class NativeHashTable:
 
         if n == 0:
             return 0, [], 0, []
-        dup_idx = (ctypes.c_uint32 * self.MAX_DUP)()
-        n_dup = ctypes.c_uint32(0)
-        dup_total = ctypes.c_ulonglong(0)
-        coll = (ctypes.c_uint8 * (52 * self.MAX_COLL))()
-        n_coll = ctypes.c_uint32(0)
-        coll_total = ctypes.c_ulonglong(0)
-        with self._mu:
-            added = self._lib.kt_ht_add_batch(
-                self._h, recs, n,
-                dup_idx, ctypes.byref(n_dup), self.MAX_DUP,
-                ctypes.byref(dup_total),
-                coll, ctypes.byref(n_coll), self.MAX_COLL,
-                ctypes.byref(coll_total),
-            )
-        if added < 0:
-            raise ValueError("native add_batch: malformed bucket id")
-        if (coll_total.value > n_coll.value
-                or dup_total.value > n_dup.value):
-            # overflowed report buffers (pathological batch): redo in
-            # halves so every event is reported.  NB the oversized
-            # batch already inserted its new entries; re-adding is
-            # idempotent for them (they become duplicates), so split
-            # processing is only used to recover the reports -- callers
-            # must not reach this in normal operation.
-            raise OverflowError(
-                "native add_batch report overflow; batch too large"
-            )
-        pairs = []
-        raw = bytes(coll)
-        for i in range(n_coll.value):
-            o = 52 * i
-            pairs.append((
-                int.from_bytes(raw[o:o + 16], "little"),
-                int.from_bytes(raw[o + 16:o + 32], "little"),
-                int.from_bytes(raw[o + 32:o + 48], "little"),
-                int.from_bytes(raw[o + 48:o + 52], "little"),
-            ))
-        return int(added), list(dup_idx[: n_dup.value]), int(
-            dup_total.value
-        ), pairs
+        added_total = 0
+        dups: list = []
+        dup_sum = 0
+        pairs: list = []
+        for base in range(0, n, self.CALL_CHUNK):
+            m = min(self.CALL_CHUNK, n - base)
+            dup_idx = (ctypes.c_uint32 * m)()
+            n_dup = ctypes.c_uint32(0)
+            dup_total = ctypes.c_ulonglong(0)
+            coll = (ctypes.c_uint8 * (52 * m))()
+            n_coll = ctypes.c_uint32(0)
+            coll_total = ctypes.c_ulonglong(0)
+            with self._mu:
+                added = self._lib.kt_ht_add_batch(
+                    self._h, recs[36 * base:36 * (base + m)], m,
+                    dup_idx, ctypes.byref(n_dup), m,
+                    ctypes.byref(dup_total),
+                    coll, ctypes.byref(n_coll), m,
+                    ctypes.byref(coll_total),
+                )
+            if added < 0:
+                raise ValueError("native add_batch: malformed bucket id")
+            # buffers hold one report per record, so overflow cannot
+            # occur; keep the invariant checked
+            assert coll_total.value == n_coll.value
+            assert dup_total.value == n_dup.value
+            added_total += int(added)
+            dup_sum += int(dup_total.value)
+            dups.extend(base + i for i in dup_idx[: n_dup.value])
+            raw = bytes(coll)
+            for i in range(n_coll.value):
+                o = 52 * i
+                pairs.append((
+                    int.from_bytes(raw[o:o + 16], "little"),
+                    int.from_bytes(raw[o + 16:o + 32], "little"),
+                    int.from_bytes(raw[o + 32:o + 48], "little"),
+                    base + int.from_bytes(raw[o + 48:o + 52], "little"),
+                ))
+        return added_total, dups, dup_sum, pairs
 
     @staticmethod
     def pack_record(h: int, x128: int, d128: int) -> bytes:
@@ -279,15 +279,29 @@ class NativeHashTable:
             int(total) / HASH_SIZE
         )
 
+    #: buckets serialized per lock hold during write_region: bounds the
+    #: solver-drain stall to one span (~1/32 of the table) per acquire
+    #: instead of the full file write (a fuzzy snapshot, same contract
+    #: as the dict path's save; -wsplit freezes the table first so its
+    #: snapshot is exact either way)
+    WRITE_SPAN = 1 << 13
+
     def write_region(self, path: str, off: int, merge_style: bool = False
                      ) -> int:
-        with self._mu:
-            w = self._lib.kt_ht_write(
-                self._h, path.encode(), off, 1 if merge_style else 0
-            )
-        if w < 0:
-            raise IOError(f"native table write failed: {path}")
-        return int(w)
+        from ..constants import HASH_SIZE
+
+        style = 1 if merge_style else 0
+        total = 0
+        for hb0 in range(0, HASH_SIZE, self.WRITE_SPAN):
+            hb1 = min(hb0 + self.WRITE_SPAN, HASH_SIZE)
+            with self._mu:
+                w = self._lib.kt_ht_write_span(
+                    self._h, path.encode(), off + total, style, hb0, hb1
+                )
+            if w < 0:
+                raise IOError(f"native table write failed: {path}")
+            total += int(w)
+        return total
 
     def read_region(self, path: str, off: int) -> int:
         with self._mu:

@@ -164,6 +164,7 @@ class KangarooSolver:
     DP_HOST_COST = 20e-6
 
     def balanced_dp(self, nb_kangaroo: int, rate: Optional[float] = None,
+                    suggested: Optional[int] = None,
                     dp_cost: float = DP_HOST_COST) -> int:
         """Auto-DP with the host drain in the cost model.
 
@@ -179,7 +180,7 @@ class KangarooSolver:
             import jax
 
             rate = 9e7 if jax.devices()[0].platform == "tpu" else 3.5e6
-        s = self.suggest_dp(nb_kangaroo)
+        s = self.suggest_dp(nb_kangaroo) if suggested is None else suggested
         best, best_t = s, None
         for dp in range(s, min(s + 24, 65)):
             op, _, _ = self.compute_expected(float(dp), nb_kangaroo)
@@ -239,6 +240,27 @@ class KangarooSolver:
             opts.seed if opts.seed is not None else (time.time_ns() & 0xFFFFFFFF)
         )
 
+        # Continuation semantics: a repeated solve() on the SAME key
+        # keeps the accumulated table/count and continues the walk from
+        # last_state; a new key resets both (reference: hashTable.Reset
+        # between keys, Kangaroo.cpp:1054-1056).  A -i resume keeps the
+        # table loaded by the CLI (self.resumed).
+        same_key = getattr(self, "_active_key_idx", None) == key_idx
+        if not self.resumed and not same_key:
+            self.hash_table.reset()
+            self.offset_count = 0
+            self.stats.dead = 0
+        self.resumed = False
+        self._active_key_idx = key_idx
+        if (
+            same_key
+            and self.loaded_kangaroos is None
+            and getattr(self, "last_state", None) is not None
+        ):
+            self.loaded_kangaroos = tuple(
+                np.asarray(a) for a in self.last_state
+            )
+
         if self.loaded_kangaroos is not None:
             # Reconcile the restored herd with the requested lane count
             # (reference: FectchKangaroos fills any shortfall with fresh
@@ -282,12 +304,11 @@ class KangarooSolver:
             )
             px, py, d = jnp.asarray(px_np), jnp.asarray(py_np), jnp.asarray(d_np)
         symclass = jnp.zeros((opts.nb_kangaroo,), dtype=jnp.uint32)
+        # the restored herd is absorbed into px/py/d; keep it from
+        # being re-applied (stale) by a later solve() call
+        self.loaded_kangaroos = None
 
-        if not self.resumed:
-            self.hash_table.reset()
-        self.resumed = False
         self.stats.count = self.offset_count
-        self.stats.dead = 0
         t0 = time.time()
         result = None
         tick = 0
@@ -681,6 +702,8 @@ class KangarooSolver:
 
         self.stats.time = self.offset_time + time.time() - t0
         self.last_state = (px, py, d)
+        # a repeated solve() on this key continues from here
+        self.offset_count = self.stats.count
         self.finish_save()
         if result is not None and opts.out_file:
             self._output(result)
@@ -711,11 +734,14 @@ class KangarooSolver:
         """Checkpoint without stalling the walk.
 
         The write runs on a background thread against a fuzzy snapshot
-        (see backup.write_hash_table); the solver thread only pays the
-        device->host copy of the herd.  The reference instead pauses
-        all workers for the whole write behind saveRequest/saveMutex
-        (Backup.cpp:449-472); -wt keeps its meaning as the bound on
-        waiting for a save that is still running.
+        (see backup.write_hash_table); the solver thread pays the
+        device->host copy of the herd plus, with the native table, at
+        most one bucket-span serialization per drain (write_region
+        releases the table lock between spans).  The reference instead
+        pauses all workers for the whole write behind
+        saveRequest/saveMutex (Backup.cpp:449-472); -wt keeps its
+        meaning as the bound on waiting for a save that is still
+        running.
         """
         import threading
 
@@ -739,7 +765,7 @@ class KangarooSolver:
             # merge recovers cross-file collisions (README.md:152-196).
             # Files are timestamped like the reference (Timer::getTS).
             self.hash_table = make_hash_table()
-            name = name + "_" + time.strftime("%d%b%y_%H%M%S")
+            name = backup.split_file_name(name)
 
         def write():
             backup.save_work(

@@ -73,6 +73,25 @@ def _r_int(f, nbytes):
     return int.from_bytes(f.read(nbytes), "little")
 
 
+def split_file_name(base: str) -> str:
+    """Unique -wsplit file name: base + reference-style timestamp.
+
+    The reference's Timer::getTS has 1-second resolution; two saves
+    completing within the same second would silently overwrite a split
+    file whose table was already discarded (losing its DPs), so append
+    a counter suffix whenever the name is taken.
+    """
+    import time
+
+    name = base + "_" + time.strftime("%d%b%y_%H%M%S")
+    if not os.path.exists(name):
+        return name
+    k = 1
+    while os.path.exists(f"{name}_{k}"):
+        k += 1
+    return f"{name}_{k}"
+
+
 def ref_max_item(nb: int) -> int:
     """maxItem as the reference's allocator would have left it.
 

@@ -96,6 +96,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
             ctypes.c_int,
         ]
+        lib.kt_ht_write_span.restype = ctypes.c_longlong
+        lib.kt_ht_write_span.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32,
+        ]
         lib.kt_ht_read.restype = ctypes.c_longlong
         lib.kt_ht_read.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,

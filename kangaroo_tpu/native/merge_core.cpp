@@ -298,9 +298,12 @@ long long kt_ht_add_batch(void* h, const uint8_t* recs, uint32_t n,
 // created/extended as needed).  max_item_style: 0 = solver allocator
 // growth pattern (ref_max_item), 1 = merge round-up-to-4.  Returns
 // bytes written or -1.
-long long kt_ht_write(void* h, const char* path, long long off,
-                      int max_item_style) {
+// Span variant: serialize buckets [hb0, hb1) only, so a background
+// save can release the table lock between spans (bounded stall).
+long long kt_ht_write_span(void* h, const char* path, long long off,
+                           int max_item_style, uint32_t hb0, uint32_t hb1) {
     auto* t = static_cast<KtHashTable*>(h);
+    if (hb1 > KT_HASH_SIZE || hb0 > hb1) return -1;
     FILE* f = fopen(path, "rb+");
     if (!f) f = fopen(path, "wb");
     if (!f) return -1;
@@ -309,7 +312,7 @@ long long kt_ht_write(void* h, const char* path, long long off,
         return -1;
     }
     long long written = 0;
-    for (uint32_t hb = 0; hb < KT_HASH_SIZE; ++hb) {
+    for (uint32_t hb = hb0; hb < hb1; ++hb) {
         auto& v = t->b[hb].v;
         uint32_t nb = (uint32_t)v.size();
         uint32_t mx = max_item_style ? round4(nb) : ref_max_item_c(nb);
@@ -325,6 +328,11 @@ long long kt_ht_write(void* h, const char* path, long long off,
     }
     fclose(f);
     return written;
+}
+
+long long kt_ht_write(void* h, const char* path, long long off,
+                      int max_item_style) {
+    return kt_ht_write_span(h, path, off, max_item_style, 0, KT_HASH_SIZE);
 }
 
 // Load a HEADW bucket region from `off`, REPLACING the table contents.

@@ -347,7 +347,7 @@ class DPServer:
         name = self.work_file
         table = self.hash_table
         if self.split_work_file:
-            name = self.work_file + "_" + time.strftime("%d%b%y_%H%M%S")
+            name = backup_mod.split_file_name(self.work_file)
             self.hash_table = make_hash_table()
         hdr = WorkHeader(
             self.dp_size, self.range_start, self.range_end,
@@ -416,18 +416,28 @@ class DPServer:
                 time.sleep(
                     max(0.0, self.process_period - (time.time() - last_proc))
                 )
-                self._process_once()
-                now = time.time()
-                if not quiet:
-                    self._print_status(now - t0)
-                last_proc = now
-                if (
-                    self.work_file
-                    and now - last_save > self.save_period
-                    and not self.end_of_search
-                ):
-                    self._save_work()
-                    last_save = now
+                # a fatal processing error must not silently kill DP
+                # draining while the accept loop keeps looking alive
+                # (recv_dp would grow unbounded, the server unsolvable)
+                try:
+                    self._process_once()
+                    now = time.time()
+                    if not quiet:
+                        self._print_status(now - t0)
+                    last_proc = now
+                    if (
+                        self.work_file
+                        and now - last_save > self.save_period
+                        and not self.end_of_search
+                    ):
+                        self._save_work()
+                        last_save = now
+                except Exception:
+                    import traceback
+
+                    print("\nServer DP-processing error (continuing):")
+                    traceback.print_exc()
+                    last_proc = time.time()
 
         proc_t = threading.Thread(target=process_loop, daemon=True)
         proc_t.start()

@@ -380,3 +380,35 @@ def test_native_table_drain_matches_python_symmetry():
         s_nat.hash_table.iter_sorted()
     )
     assert s_py.stats.dead == s_nat.stats.dead
+
+
+def test_same_key_solve_continues(tmp_path):
+    """Repeated solve() on the same key must keep the table, continue
+    the walk from last_state, and accumulate the op count; a different
+    key resets both (reference: hashTable.Reset between keys,
+    Kangaroo.cpp:1054-1056)."""
+    s = make_solver(nk=64)
+    s.solve(0, max_ticks=6)
+    n1 = s.hash_table.n_items()
+    c1 = s.stats.count
+    st1 = tuple(np.asarray(a).copy() for a in s.last_state)
+    assert n1 > 0 and c1 > 0
+
+    s.solve(0, max_ticks=3)
+    assert s.stats.count == c1 + 3 * 64 * 8  # accumulated, not restarted
+    assert s.hash_table.n_items() >= n1      # table kept
+    st2 = tuple(np.asarray(a) for a in s.last_state)
+    # the walk continued (state advanced, not re-created from the seed)
+    assert not np.array_equal(st1[0], st2[0])
+
+    # resumed solver: second solve() must not wipe the restored DPs
+    # or re-apply the (stale) loaded herd
+    path, lw = save_and_load(s, tmp_path)
+    s2 = make_resumed(lw, nk=64)
+    s2.solve(0, max_ticks=2)
+    assert s2.loaded_kangaroos is None
+    n2 = s2.hash_table.n_items()
+    c2 = s2.stats.count
+    s2.solve(0, max_ticks=2)
+    assert s2.hash_table.n_items() >= n2
+    assert s2.stats.count == c2 + 2 * 64 * 8
