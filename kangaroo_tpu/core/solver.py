@@ -69,6 +69,12 @@ class SolverOptions:
     # fixed hit-gather width (0 = auto from the expected DP rate);
     # hits beyond it are pulled in chunks of the same width
     pull_pad: int = 0
+    # Device watchdog: if a host read of device results blocks longer
+    # than this many seconds (hung accelerator/relay), checkpoint the
+    # hash table to the work file and abort the solve instead of
+    # hanging forever.  0 disables.  Table-only resume costs DP
+    # overhead only (reference README.md:99-101).
+    device_timeout: float = 600.0
 
 
 @dataclass
@@ -80,6 +86,10 @@ class SolveStats:
     # DP hits beyond the per-lane capture slots in one launch window
     # (reference warns on its bounded output ring, GPUEngine.cu:641-648)
     lost: int = 0
+
+
+class DeviceHangError(RuntimeError):
+    """A host read of device results exceeded the watchdog timeout."""
 
 
 class KangarooSolver:
@@ -406,7 +416,9 @@ class KangarooSolver:
             at large herds.
             """
             count, dpx, dpd, dp_step = pend
-            count_np = np.asarray(count.astype(jnp.uint16))
+            count_np = self._host_read(
+                lambda: np.asarray(count.astype(jnp.uint16))
+            )
             hits = np.nonzero(count_np)[0]
             if not hits.size:
                 return None
@@ -427,9 +439,14 @@ class KangarooSolver:
             count_np, hits, chunks = flight
             xs, ds, ss = [], [], []
             for m, dpx_g, dpd_g, step_g in chunks:
-                xs.append(np.asarray(dpx_g)[:, :, :m])
-                ds.append(np.asarray(dpd_g)[:, :, :m])
-                ss.append(np.asarray(step_g)[:, :m])
+                got = self._host_read(
+                    lambda a=dpx_g, b=dpd_g, c=step_g: (
+                        np.asarray(a), np.asarray(b), np.asarray(c)
+                    )
+                )
+                xs.append(got[0][:, :, :m])
+                ds.append(got[1][:, :, :m])
+                ss.append(got[2][:, :m])
             return (
                 count_np, hits,
                 np.concatenate(xs, axis=2),
@@ -652,53 +669,78 @@ class KangarooSolver:
         pending = None   # tick outputs awaiting count read
         inflight = None  # enqueued gathers awaiting host transfer
         stop = False
-        while result is None and not stop:
-            if max_ticks is not None and tick >= max_ticks:
-                break
-            if (
-                opts.max_step > 0
-                and self.stats.count
-                > opts.max_step * self.stats.expected_ops
-            ):
-                break
-            out = tick_fn(px, py, d, symclass)
-            px, py, d = out[0], out[1], out[2]
-            if opts.symmetry:
-                symclass = out[7]
-            self.stats.count += n * opts.nb_run
-            tick += 1
+        try:
+            while result is None and not stop:
+                if max_ticks is not None and tick >= max_ticks:
+                    break
+                if (
+                    opts.max_step > 0
+                    and self.stats.count
+                    > opts.max_step * self.stats.expected_ops
+                ):
+                    break
+                out = tick_fn(px, py, d, symclass)
+                px, py, d = out[0], out[1], out[2]
+                if opts.symmetry:
+                    symclass = out[7]
+                self.stats.count += n * opts.nb_run
+                tick += 1
 
-            gath = enqueue_pull(pending) if pending is not None else None
-            if inflight is not None:
-                stop = drain(read_pull(inflight))
-            inflight = gath
-            pending = out[3:7]
+                gath = enqueue_pull(pending) if pending is not None else None
+                if inflight is not None:
+                    stop = drain(read_pull(inflight))
+                inflight = gath
+                pending = out[3:7]
 
-            now = time.time()
-            if progress is not None and now - last_status > 2.0:
-                progress(self, now - t0)
-                last_status = now
-            if (
-                (opts.work_file or save_hook is not None)
-                and now - last_save > opts.save_period
-                and result is None
-            ):
-                if save_hook is not None:
-                    # client mode: kangaroo-only backup (local HEADK or
-                    # via the server, reference -w / -wss client paths)
-                    save_hook(self, np.asarray(px), np.asarray(py),
-                              np.asarray(d), now - t0)
-                else:
-                    self._save_work(px, py, d, now - t0)
-                last_save = now
+                now = time.time()
+                if progress is not None and now - last_status > 2.0:
+                    progress(self, now - t0)
+                    last_status = now
+                if (
+                    (opts.work_file or save_hook is not None)
+                    and now - last_save > opts.save_period
+                    and result is None
+                ):
+                    if save_hook is not None:
+                        # client mode: kangaroo-only backup (local HEADK or
+                        # via the server, reference -w / -wss client paths)
+                        hx, hy, hd = self._host_read(
+                            lambda: (np.asarray(px), np.asarray(py),
+                                     np.asarray(d))
+                        )
+                        save_hook(self, hx, hy, hd, now - t0)
+                    else:
+                        self._save_work(px, py, d, now - t0)
+                    last_save = now
 
-        # flush both pipeline stages
-        if result is None and not sink_end and inflight is not None:
-            drain(read_pull(inflight))
-        if result is None and not sink_end and pending is not None:
-            gath = enqueue_pull(pending)
-            if gath is not None:
-                drain(read_pull(gath))
+            # flush both pipeline stages
+            if result is None and not sink_end and inflight is not None:
+                drain(read_pull(inflight))
+            if result is None and not sink_end and pending is not None:
+                gath = enqueue_pull(pending)
+                if gath is not None:
+                    drain(read_pull(gath))
+
+        except DeviceHangError as e:
+            # hung accelerator/relay: checkpoint what the host
+            # has (table + count; the herd arrays may be
+            # unreadable) and abort instead of hanging forever
+            if not opts.quiet:
+                print(f"\nDevice watchdog: {e}")
+            if opts.work_file:
+                from ..io import backup as backup_mod
+                name = opts.work_file
+                if opts.split_work_file:
+                    name = backup_mod.split_file_name(name)
+                backup_mod.save_work(
+                    name, self, None, None, None,
+                    self.stats.count,
+                    self.offset_time + time.time() - t0,
+                    save_kangaroo=False,
+                )
+                if not opts.quiet:
+                    print(f"Saved work to {name} (table only); "
+                          f"resume with -i (DP-overhead cost only)")
 
         self.stats.time = self.offset_time + time.time() - t0
         self.last_state = (px, py, d)
@@ -708,6 +750,35 @@ class KangarooSolver:
         if result is not None and opts.out_file:
             self._output(result)
         return result
+
+    def _host_read(self, fn):
+        """Run a blocking device->host read under the watchdog.
+
+        A hung accelerator (or remote-device relay) blocks np.asarray
+        forever; running the read on a worker thread bounds the wait.
+        On timeout the worker stays blocked (daemon, dies with the
+        process) and DeviceHangError aborts the solve, which
+        checkpoints the table first (see solve()).
+        """
+        to = getattr(self.opts, "device_timeout", 0.0)
+        if not to:
+            return fn()
+        import concurrent.futures
+
+        ex = getattr(self, "_read_executor", None)
+        if ex is None:
+            ex = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1,
+                thread_name_prefix="kangaroo-devread",
+            )
+            self._read_executor = ex
+        fut = ex.submit(fn)
+        try:
+            return fut.result(timeout=to)
+        except concurrent.futures.TimeoutError:
+            raise DeviceHangError(
+                f"device read exceeded {to:.0f}s watchdog"
+            ) from None
 
     def _reset_lanes(self, px, py, d, resets, rng):
         """Dead kangaroo: draw a fresh one (reference: Kangaroo.cpp:467-471)."""
@@ -754,7 +825,9 @@ class KangarooSolver:
                 if not self.opts.quiet:
                     print("\nSaveWork timeout !")
                 return
-        px_np, py_np, d_np = np.asarray(px), np.asarray(py), np.asarray(d)
+        px_np, py_np, d_np = self._host_read(
+            lambda: (np.asarray(px), np.asarray(py), np.asarray(d))
+        )
         count = self.stats.count
         total_time = self.offset_time + elapsed
         table = self.hash_table

@@ -54,7 +54,7 @@ SPLITS = int(__import__("os").environ.get("KT_SPLITS", "1"))
 # ONE concat per carried array instead of one per mulmod.  Composes
 # with field.MUL_CHUNK (which chunks the inversion tree's wide muls).
 WALKW = int(__import__("os").environ.get("KT_WALKW", "0"))
-# Perf-probe hook (scripts/pkprobe.py): adds one labelled extra
+# Perf-probe hook (KT_PROBE=<name> python bench.py): adds one labelled extra
 # operation per step INSIDE the production kernel so component costs
 # are attributed under real register/VMEM pressure (isolated-harness
 # deltas proved misleading).  Empty in production.

@@ -59,3 +59,22 @@ def test_solve_20bit_symmetry():
     sym_exp = solver.compute_expected(2.0)[0]
     plain_exp = plain.compute_expected(2.0)[0]
     assert abs(sym_exp / plain_exp - 2 ** -0.5) < 1e-9
+
+
+def test_device_watchdog_host_read():
+    """_host_read bounds a hung device->host read (DeviceHangError);
+    normal reads pass through, and timeout=0 disables the watchdog."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from kangaroo_tpu.core.solver import DeviceHangError
+
+    cfg, _ = make_problem(0x100000, (1 << 20) - 1, 1234)
+    s = KangarooSolver(cfg, SolverOptions(nb_kangaroo=16, quiet=True))
+    s.opts.device_timeout = 0.2
+    assert s._host_read(lambda: 42) == 42
+    with _pytest.raises(DeviceHangError):
+        s._host_read(lambda: _time.sleep(5))
+    s.opts.device_timeout = 0.0
+    assert s._host_read(lambda: 7) == 7
