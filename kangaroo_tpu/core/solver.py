@@ -763,22 +763,31 @@ class KangarooSolver:
         to = getattr(self.opts, "device_timeout", 0.0)
         if not to:
             return fn()
-        import concurrent.futures
+        import queue
+        import threading
 
-        ex = getattr(self, "_read_executor", None)
-        if ex is None:
-            ex = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1,
-                thread_name_prefix="kangaroo-devread",
-            )
-            self._read_executor = ex
-        fut = ex.submit(fn)
+        # a DAEMON thread, not an executor: a truly hung read must not
+        # block interpreter exit (executor workers are joined atexit)
+        q: "queue.Queue" = queue.Queue(maxsize=1)
+
+        def run():
+            try:
+                q.put((True, fn()))
+            except BaseException as e:  # surface device errors too
+                q.put((False, e))
+
+        threading.Thread(
+            target=run, daemon=True, name="kangaroo-devread"
+        ).start()
         try:
-            return fut.result(timeout=to)
-        except concurrent.futures.TimeoutError:
+            ok, val = q.get(timeout=to)
+        except queue.Empty:
             raise DeviceHangError(
                 f"device read exceeded {to:.0f}s watchdog"
             ) from None
+        if not ok:
+            raise val
+        return val
 
     def _reset_lanes(self, px, py, d, resets, rng):
         """Dead kangaroo: draw a fresh one (reference: Kangaroo.cpp:467-471)."""
