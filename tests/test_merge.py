@@ -182,3 +182,52 @@ def test_merge_collision_overflow_all_resolved(tmp_path):
     assert dead == n_coll
     lw = backup.load_work(fd)
     assert lw.hash_table.n_items() == n_coll
+
+
+def test_split_file_name_unique(tmp_path):
+    """Same-second -wsplit saves must not overwrite each other."""
+    base = str(tmp_path / "w.work")
+    n1 = backup.split_file_name(base)
+    open(n1, "wb").close()
+    n2 = backup.split_file_name(base)
+    assert n2 != n1
+    open(n2, "wb").close()
+    n3 = backup.split_file_name(base)
+    assert n3 not in (n1, n2)
+
+
+def test_native_add_batch_chunked_indices():
+    """Batches larger than one native call report duplicate/collision
+    indices relative to the WHOLE batch (report buffers are sized per
+    chunk, so overflow is impossible by construction)."""
+    pytest.importorskip("ctypes")
+    from kangaroo_tpu.core.hashtable import NativeHashTable
+
+    try:
+        ht = NativeHashTable()
+    except Exception:
+        pytest.skip("native library unavailable")
+    ht.CALL_CHUNK = 1024  # force multiple chunks without a huge batch
+    n = 3000
+    recs = b"".join(
+        NativeHashTable.pack_record(i % 7, 1000 + i, 5000 + i)
+        for i in range(n)
+    )
+    added, dups, dup_total, colls = ht.add_batch_raw(recs, n)
+    assert added == n and not dups and not colls
+    # second pass: every record is a duplicate, indices span all chunks
+    added2, dups2, dup_total2, _ = ht.add_batch_raw(recs, n)
+    assert added2 == 0 and dup_total2 == n
+    assert dups2 == list(range(n))
+    # collision pass: same x, different d -> all reported with correct
+    # whole-batch indices and no insertion
+    recs3 = b"".join(
+        NativeHashTable.pack_record(i % 7, 1000 + i, 9999000 + i)
+        for i in range(n)
+    )
+    added3, _, _, colls3 = ht.add_batch_raw(recs3, n)
+    assert added3 == 0 and len(colls3) == n
+    assert [c[3] for c in colls3] == list(range(n))
+    assert colls3[2048][0] == 1000 + 2048       # x
+    assert colls3[2048][1] == 9999000 + 2048    # new d
+    assert colls3[2048][2] == 5000 + 2048       # stored d
