@@ -231,3 +231,50 @@ def test_native_add_batch_chunked_indices():
     assert colls3[2048][0] == 1000 + 2048       # x
     assert colls3[2048][1] == 9999000 + 2048    # new d
     assert colls3[2048][2] == 5000 + 2048       # stored d
+
+
+@pytest.mark.slow
+def test_native_table_million_dp_roundtrip(tmp_path):
+    """Scale evidence for the native table: 10^6 DPs insert in bulk,
+    serialize via span-chunked write_region, and load back identically
+    (the reference's 100 GB-class work files are this path's use case,
+    README.md:152-196)."""
+    import time as _time
+
+    import numpy as np
+
+    from kangaroo_tpu.core.hashtable import NativeHashTable
+
+    try:
+        ht = NativeHashTable()
+    except Exception:
+        pytest.skip("native library unavailable")
+    n = 1_000_000
+    rng = np.random.RandomState(7)
+    h = rng.randint(0, 1 << 18, n).astype("<u4")
+    x = rng.randint(0, 1 << 62, n).astype("<u8")
+    d = rng.randint(0, 1 << 61, n).astype("<u8")
+    rec = np.zeros((n, 36), np.uint8)
+    rec[:, 0:4] = h.view(np.uint8).reshape(n, 4)
+    rec[:, 4:12] = x.view(np.uint8).reshape(n, 8)
+    rec[:, 20:28] = d.view(np.uint8).reshape(n, 8)
+    t0 = _time.time()
+    added, _, dup_total, colls = ht.add_batch_raw(rec.tobytes(), n)
+    t_ins = _time.time() - t0
+    assert added + dup_total + len(colls) == n
+    path = str(tmp_path / "big.ht")
+    t0 = _time.time()
+    w = ht.write_region(path, 0)
+    t_w = _time.time() - t0
+    ht2 = NativeHashTable()
+    t0 = _time.time()
+    r = ht2.read_region(path, 0)
+    t_r = _time.time() - t0
+    assert r == w and ht2.n_items() == ht.n_items()
+    # write back and require byte-identical serialization
+    path2 = str(tmp_path / "big2.ht")
+    ht2.write_region(path2, 0)
+    assert open(path, "rb").read() == open(path2, "rb").read()
+    # sanity bounds, far looser than measured (~0.1us/DP insert,
+    # ~1s-class io): catch an accidental 100x regression only
+    assert t_ins < 30 and t_w < 30 and t_r < 30
