@@ -515,7 +515,7 @@ def canonicalize(x: jnp.ndarray) -> jnp.ndarray:
 MUL_CHUNK = int(__import__("os").environ.get("KT_MULW", "0"))
 
 
-def _lane_chunks(w: int, fn, out_parts=1):
+def _lane_chunks(w: int, fn):
     """Apply fn to lane chunks of width w and concat the results."""
     def run(*arrs):
         n = arrs[0].shape[1]
@@ -524,12 +524,7 @@ def _lane_chunks(w: int, fn, out_parts=1):
         parts = [
             fn(*(x[:, j:j + w] for x in arrs)) for j in range(0, n, w)
         ]
-        if out_parts == 1:
-            return jnp.concatenate(parts, axis=1)
-        return tuple(
-            jnp.concatenate([p[k] for p in parts], axis=1)
-            for k in range(out_parts)
-        )
+        return jnp.concatenate(parts, axis=1)
     return run
 
 
