@@ -54,6 +54,11 @@ SPLITS = int(__import__("os").environ.get("KT_SPLITS", "1"))
 # ONE concat per carried array instead of one per mulmod.  Composes
 # with field.MUL_CHUNK (which chunks the inversion tree's wide muls).
 WALKW = int(__import__("os").environ.get("KT_WALKW", "0"))
+# With KT_WALKFULL=1 the chunk loop also covers the distance add,
+# symmetry normalization, DP capture and count update -- everything
+# after the shared inversion runs at chunk width, leaving only the
+# carried-state concats wide.
+WALKFULL = __import__("os").environ.get("KT_WALKFULL", "0") == "1"
 # Perf-probe hook (KT_PROBE=<name> python bench.py): adds one labelled extra
 # operation per step INSIDE the production kernel so component costs
 # are attributed under real register/VMEM pressure (isolated-harness
@@ -182,6 +187,59 @@ def _jump_kernel(
         q = _gather_onehot(jmp, jtbl)
         qx, qy, qd = q[:16], q[16:32], q[32:40]
 
+        if WALKW and h > WALKW and h % WALKW == 0 and WALKFULL:
+            # chunk EVERYTHING after the shared inversion: walk tail,
+            # distance add, symmetry normalization, DP capture, count
+            dx = field.submod(qx, px)
+            inv = field.batch_inv(dx, stop=min(INV_STOP, h))
+            xs, ys, ds, scs, cnts = [], [], [], [], []
+            for j in range(0, h, WALKW):
+                sl = slice(j, j + WALKW)
+                gl = slice(lanes.start + j, lanes.start + j + WALKW)
+                lam = field.mulmod(
+                    field.submod(qy[:, sl], py[:, sl]), inv[:, sl]
+                )
+                xc = field.canonicalize(
+                    field.sqrmod(lam, sub=(px[:, sl], qx[:, sl]))
+                )
+                yc = field.mulmod(
+                    lam, field.submod(qx[:, sl], xc), sub=(qy[:, sl],)
+                )
+                dc = field.add_u128(d[:, sl], qd[:, sl])
+                scc = sc[sl]
+                if symmetry:
+                    pyc = field.canonicalize(yc)
+                    high = field.y_is_high(pyc)
+                    selm = (high == 1)[None, :]
+                    yc = jnp.where(selm, field.neg_y(pyc), pyc)
+                    dc = jnp.where(selm, field.neg_u128(dc), dc)
+                    scc = scc ^ high
+                hitc = is_dp(xc, masks)
+                cc = count[sl]
+                for s in range(slots):
+                    hs = hitc & (cc == jnp.uint32(s))
+                    hsm = hs[None, :]
+                    dpx_ref[16 * s:16 * (s + 1), gl] = jnp.where(
+                        hsm, xc, dpx_ref[16 * s:16 * (s + 1), gl]
+                    )
+                    dpd_ref[8 * s:8 * (s + 1), gl] = jnp.where(
+                        hsm, dc, dpd_ref[8 * s:8 * (s + 1), gl]
+                    )
+                    step_ref[s:s + 1, gl] = jnp.where(
+                        hsm, jnp.uint32(i), step_ref[s:s + 1, gl]
+                    )
+                cnts.append(cc + hitc.astype(jnp.uint32))
+                xs.append(xc)
+                ys.append(yc)
+                ds.append(dc)
+                scs.append(scc)
+            return (
+                jnp.concatenate(xs, axis=1),
+                jnp.concatenate(ys, axis=1),
+                jnp.concatenate(ds, axis=1),
+                jnp.concatenate(scs),
+                jnp.concatenate(cnts),
+            )
         if WALKW and h > WALKW and h % WALKW == 0:
             dx = field.submod(qx, px)
             inv = field.batch_inv(dx, stop=min(INV_STOP, h))
