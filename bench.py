@@ -21,8 +21,38 @@ import jax.numpy as jnp
 BASELINE_MKS = 7828.45 / 4.0  # per-V100 MK/s, README.md:402
 
 
+def _probe_platform(timeout_s: float = 180.0):
+    """jax.devices() hangs forever when the accelerator relay is down;
+    probe it on a daemon thread so the bench always emits its line."""
+    import threading
+
+    box = {}
+
+    def probe():
+        try:
+            box["platform"] = jax.devices()[0].platform
+        except Exception as e:  # pragma: no cover - backend-dependent
+            box["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return box.get("platform"), box.get("error", "device init timeout")
+
+
 def main() -> None:
-    platform = jax.devices()[0].platform
+    platform, err = _probe_platform()
+    if platform is None:
+        import os
+
+        print(json.dumps({
+            "metric": "jump_throughput",
+            "value": 0.0,
+            "unit": "MK/s",
+            "vs_baseline": 0.0,
+            "error": f"accelerator unreachable: {err}",
+        }), flush=True)
+        os._exit(0)
     on_tpu = platform == "tpu"
 
     import numpy as np

@@ -151,6 +151,17 @@ def _carry_exact(x: jnp.ndarray, rows: int) -> jnp.ndarray:
     classic identity carries(x+y) = x ^ y ^ (x+y).  O(1) depth instead
     of a log-depth Kogge-Stone ladder.
     """
+    return _carry_exact_out(x, rows)[0]
+
+
+def _carry_exact_out(x: jnp.ndarray, rows: int):
+    """_carry_exact that also returns the (N,) carry OUT of the top row.
+
+    Same entry contract (limbs <= 2^17 - 2); the value may exceed
+    2^(16*rows) by at most one carry, which comes back as out in
+    {0, 1}.  Lets callers run at 16 rows (2 sublane tiles) instead of
+    carrying a 17th row (3 tiles) for the overflow digit.
+    """
     assert rows <= 31
     x = _fit(x, rows)
     lo = x & _M16
@@ -168,7 +179,8 @@ def _carry_exact(x: jnp.ndarray, rows: int) -> jnp.ndarray:
     # carry into limb i = injected generate | adder ripple carry
     cin_pk = inj | (z ^ ppk ^ inj)
     cin = (cin_pk[None, :] >> iota) & jnp.uint32(1)
-    return (lo + cin) & _M16
+    out = (cin_pk >> jnp.uint32(rows)) & jnp.uint32(1)
+    return (lo + cin) & _M16, out
 
 
 def _carry_full(x: jnp.ndarray, rows: int) -> jnp.ndarray:
@@ -186,6 +198,14 @@ def _embed_c(top: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+# 16-row + carry-out restructure of the reduce tail (KT_TOPROW=1):
+# sublane tiles quantize row counts to 8, so every (17, N) op costs 3
+# tiles where a (16, N) op costs 2; carrying the overflow digit as an
+# (N,) scalar via _carry_exact_out keeps the whole tail at 2 tiles.
+# Bit-identical by construction; gated until measured on hardware.
+TOPROW = __import__("os").environ.get("KT_TOPROW", "0") == "1"
+
+
 def _fold_small_arr(x16: jnp.ndarray, top: jnp.ndarray) -> jnp.ndarray:
     """Fold value = x16 + top*2^256 mod p -> < 2^256.
 
@@ -197,6 +217,10 @@ def _fold_small_arr(x16: jnp.ndarray, top: jnp.ndarray) -> jnp.ndarray:
     2^256, the remaining low part is tiny, so the second fold cannot
     carry again.
     """
+    if TOPROW:
+        y, o = _carry_exact_out(_fit(x16, 16) + _embed_c(top), 16)
+        z = y + _embed_c(o)       # limbs < 2^16 + 977 < 2^17
+        return _carry_exact(z, 16)
     y = _carry_exact(_fit(x16, 17) + _fit(_embed_c(top), 17), 17)
     top2 = y[16]
     z = y[:16] + _embed_c(top2)   # limbs < 2^16 + 977 < 2^17
@@ -219,6 +243,11 @@ def _cond_sub_p_arr(x: jnp.ndarray) -> jnp.ndarray:
 
     x >= p  <=>  x + c carries out of 2^256.
     """
+    if TOPROW:
+        s, o = _carry_exact_out(
+            _fit(x, 16) + _embed_c(jnp.ones_like(x[0])), 16
+        )
+        return jnp.where((o == 1)[None, :], s, x)
     s = _carry_exact(_fit(x, 17) + _fit(_embed_c(jnp.ones_like(x[0])), 17), 17)
     take = (s[16] == 1)[None, :]
     return jnp.where(take, s[:16], x)
@@ -238,6 +267,12 @@ def addmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     # one relaxed pass: limbs < 2^16+1, top exact by value preservation;
     # _fold_small_arr accepts relaxed 16-row input (it starts with a
     # full carry over 17 rows)
+    if TOPROW:
+        t = _fit(a, 16) + _fit(b, 16)      # limbs < 2^17
+        c = t >> 16
+        return _fold_small_arr(
+            _fit(t & _M16, 16) + _down(c, 1, 16), c[15]
+        )
     t = _carry1(_fit(a, 17) + _fit(b, 17), 17)
     return _fold_small_arr(t[:16], t[16])
 
@@ -259,6 +294,11 @@ def submod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     carries is a - b + 2p < 2^258, i.e. t[16] <= 3, folded exactly.
     """
     t = a + _const_cols(TWOP_LOW_LIMBS, a) + (_M16 ^ b) + _one_row0(a)  # < 2^18
+    if TOPROW:
+        c = t >> 16                        # row digits <= 3
+        return _fold_small_arr(
+            _fit(t & _M16, 16) + _down(c, 1, 16), c[15]
+        )
     t = _carry1(t, 17)            # limbs < 2^16 + 4 (relaxed is fine:
     # _fold_small_arr re-carries over 17 rows before its second fold)
     return _fold_small_arr(t[:16], t[16])
@@ -451,6 +491,30 @@ def reduce_512(
     m = _carry1(f, w + 1)
     # Fold 2: H1 = the rows beyond 2^256 (relaxed limbs)
     h = m[16:]
+    if TOPROW and not relaxed_out and not _FINRED:
+        # 16-row tail: all fold-2 contributions live below row 16
+        # (h*977 rows 0..4, h<<32 rows 2..6, subtrahends rows 0..15),
+        # so accumulate at 2 tiles and carry the 2^256 overflow digit
+        # as an (N,) scalar: row 15 gains at most ~2^18.6 (relaxed limb
+        # + 2 subtrahends), so top = c[15] + out <= ~7, well inside
+        # _fold_small_arr's 977*top entry bound.
+        g = (
+            _fit(m[:16], 16)
+            + _fit(h * jnp.uint32(C_LOW), 16)
+            + _down(h, 2, 16)
+        )
+        for b in sub:
+            g = (
+                g
+                + _fit(_const_cols(TWOP_LOW_LIMBS, b), 16)
+                + _fit(_M16 ^ b, 16)
+                + _fit(_one_row0(b), 16)
+            )
+        lo = g & _M16
+        c = g >> 16
+        top = c[15]
+        e, out = _carry_exact_out(_fit(lo, 16) + _down(c, 1, 16), 16)
+        return _fold_small_arr(e, top + out)
     g = (
         _fit(m[:16], 17)
         + _fit(h * jnp.uint32(C_LOW), 17)
@@ -877,6 +941,11 @@ def y_is_high(y: jnp.ndarray) -> jnp.ndarray:
     Mirrors Int::ModPositiveK1 (IntMod.cpp:1270-1282): the canonical
     representative of {P, -P} keeps the smaller y.
     """
+    if TOPROW:
+        _, o = _carry_exact_out(
+            _fit(y, 16) + _const_cols(HALF_TEST_LIMBS, y), 16
+        )
+        return o
     s = _carry_exact(
         _fit(y, 17) + _fit(_const_cols(HALF_TEST_LIMBS, y), 17), 17
     )
@@ -887,6 +956,10 @@ def neg_y(y: jnp.ndarray) -> jnp.ndarray:
     """p - y for canonical y (0 < y < p), canonical result."""
     # p + (~y) + 1 over 16 limbs; the 2^256 carry is implicit (y <= p)
     t = _const_cols(P_LIMBS, y) + (_M16 ^ y) + _one_row0(y)
+    if TOPROW:
+        c = t >> 16
+        # the 2^256 carry-out (borrow guard) drops off the top row
+        return _carry_exact(_fit(t & _M16, 16) + _down(c, 1, 16), 16)
     t = _carry1(t, 17)
     t = _carry_exact(t, 17)
     return t[:16]  # row 16 is the dropped 2^256 borrow-guard

@@ -53,25 +53,32 @@ def main() -> None:
     variants = []
     for spec in sys.argv[1:]:
         parts = [int(v) for v in spec.split(":")]
-        while len(parts) < 4:
+        while len(parts) < 6:
             parts.append(0)
-        # (mulw, walkw, block, full); 0 = default / off
+        # (mulw, walkw, block, full, toprow, outer); 0 = default / off
         variants.append(tuple(parts))
     if not variants:
         variants = [
-            (0, 0, 0, 0),
-            (512, 0, 0, 0), (256, 0, 0, 0), (1024, 0, 0, 0),
-            (0, 512, 0, 0), (0, 1024, 0, 0),
-            (0, 512, 0, 1), (0, 1024, 0, 1),
-            (512, 512, 0, 1), (256, 512, 0, 1),
+            (0, 0, 0, 0, 0, 0),
+            (512, 0, 0, 0, 0, 0), (256, 0, 0, 0, 0, 0), (1024, 0, 0, 0, 0, 0),
+            (0, 512, 0, 0, 0, 0), (0, 1024, 0, 0, 0, 0),
+            (0, 512, 0, 1, 0, 0), (0, 1024, 0, 1, 0, 0),
+            (0, 0, 0, 0, 1, 0), (0, 512, 0, 1, 1, 0),
+            (512, 512, 0, 1, 1, 0), (256, 512, 0, 1, 1, 0),
+            # OUTER: short-dependency-chain column builder for the
+            # latency-bound narrow fold-tree levels (<= thresh lanes)
+            (0, 0, 0, 0, 0, 512), (0, 0, 0, 0, 1, 512),
+            (0, 512, 0, 1, 1, 512), (0, 0, 0, 0, 0, 128),
         ]
 
     interp = not on_tpu  # CPU smoke-testing only
-    for mulw, walkw, vblk, full in variants:
+    for mulw, walkw, vblk, full, toprow, outer in variants:
         blk = min(vblk or jump_pallas.DEFAULT_BLOCK, n)
         field.MUL_CHUNK = mulw
         jump_pallas.WALKW = walkw
         jump_pallas.WALKFULL = bool(full)
+        field.TOPROW = bool(toprow)
+        field.OUTER_THRESH = outer
         jax.clear_caches()
         try:
             out = jump_pallas.jump_steps_with_dp(
@@ -89,10 +96,12 @@ def main() -> None:
             barrier(cur[0])
             dt = time.perf_counter() - t0
             rate = n * nb_run * reps / dt / 1e6
-            print(f"mulw={mulw} walkw={walkw} blk={blk} full={full} value={rate:.1f} MK/s",
+            print(f"mulw={mulw} walkw={walkw} blk={blk} full={full} "
+                  f"toprow={toprow} outer={outer} value={rate:.1f} MK/s",
                   flush=True)
         except Exception as e:  # keep sweeping on a failed variant
-            print(f"mulw={mulw} walkw={walkw} blk={blk} full={full} FAILED: {e!r}", flush=True)
+            print(f"mulw={mulw} walkw={walkw} blk={blk} full={full} "
+                  f"toprow={toprow} outer={outer} FAILED: {e!r}", flush=True)
 
 
 if __name__ == "__main__":

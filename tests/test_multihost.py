@@ -27,10 +27,16 @@ def test_two_process_mesh_bit_identical(tmp_path):
         k: v for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
-    proc = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "scripts", "multihost_demo.py")],
-        env=env, timeout=800, capture_output=True, text=True, cwd=ROOT,
-    )
+    # one retry: the 2-process gloo rendezvous can time out when the
+    # machine is saturated by concurrent compile jobs
+    for attempt in (0, 1):
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(ROOT, "scripts", "multihost_demo.py")],
+            env=env, timeout=800, capture_output=True, text=True, cwd=ROOT,
+        )
+        if proc.returncode == 0:
+            break
     assert proc.returncode == 0, proc.stderr[-2000:]
     with open(result) as f:
         out = json.load(f)
