@@ -19,7 +19,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..constants import HASH_MASK, HASH_SIZE, H_PER_PART, MERGE_PART, N_ORDER
+from ..constants import HASH_MASK, HASH_SIZE, H_PER_PART, MERGE_PART, N_ORDER, P
 from ..utils.intutils import ints_to_limbs, limbs_to_ints_fast
 from . import curve
 from .hashtable import calc_dist_and_type
@@ -172,6 +172,103 @@ def check_partitioned(directory: str, batch: int = 4096) -> CheckReport:
                     flush()
     flush()
     return report
+
+
+def structured_field_values() -> List[int]:
+    """Adversarial operand pool mirroring Int::Check's structured scans
+    (+/-2^i, P-k, small k; SECPK1/Int.cpp:1590-1809) plus divstep-
+    specific pathologies: long even runs (low 32/64/128/224 bits zero —
+    the packed inner loop consumes 32-bit low words), and alternating
+    bit patterns."""
+    import random
+
+    vals: List[int] = []
+    for i in range(256):
+        vals.append(pow(2, i, P))
+        vals.append(P - pow(2, i, P))
+    vals.extend(P - k for k in range(1, 1025))
+    vals.extend(range(1, 1025))
+    rnd = random.Random(0x57E55)
+    for shift in (32, 64, 128, 224):
+        for _ in range(256):
+            vals.append((rnd.randrange(1, 1 << (256 - shift)) << shift) % P)
+    for pat in (0x5555, 0xAAAA, 0x3333, 0x0F0F):
+        v = int(("%04x" % pat) * 16, 16) % P
+        vals.append(v)
+        vals.append(P - v)
+    return [v % P for v in vals if v % P != 0]
+
+
+def field_stress_check(
+    n_mul: int = 100_000,
+    n_inv: int = 10_000,
+    chunk: int = 4096,
+    verbose: bool = True,
+) -> bool:
+    """Volume arithmetic oracle: n_mul mulmods vs exact big-int product
+    and n_inv modinvs vs Fermat, structured pool first then random fill
+    (reference: Int::Check's 100k ModMulK1 / 10k ModInv sweeps,
+    SECPK1/Int.cpp:1668-1809).  One compiled shape serves all chunks.
+    """
+    import random
+
+    import jax.numpy as jnp
+
+    from ..ops import field
+
+    rnd = random.Random(0xF00D5)
+    pool = structured_field_values()
+    ok = True
+
+    def run_chunks(vals_a, vals_b, op, nout):
+        out = []
+        for i in range(0, len(vals_a), chunk):
+            ca = list(vals_a[i : i + chunk])
+            pad = chunk - len(ca)
+            if pad:
+                ca += [1] * pad
+            args = [jnp.asarray(ints_to_limbs(ca))]
+            if vals_b is not None:
+                cb = list(vals_b[i : i + chunk])
+                if pad:
+                    cb += [1] * pad
+                args.append(jnp.asarray(ints_to_limbs(cb)))
+            r = op(*args)
+            out.extend(
+                int(x) for x in limbs_to_ints_fast(np.asarray(r))[: chunk - pad]
+            )
+        return out[:nout]
+
+    avals = pool + [rnd.randrange(1, P) for _ in range(max(0, n_mul - len(pool)))]
+    avals = avals[:n_mul]
+    bvals = list(reversed(pool)) + [
+        rnd.randrange(1, P) for _ in range(max(0, n_mul - len(pool)))
+    ]
+    bvals = bvals[:n_mul]
+    got = run_chunks(avals, bvals, field.mulmod, n_mul)
+    bad = sum(
+        1
+        for a, b, g in zip(avals, bvals, got)
+        if g >= (1 << 256) or g % P != (a * b) % P
+    )
+    if bad:
+        ok = False
+        if verbose:
+            print(f"Check: mulmod volume FAILED ({bad}/{n_mul} wrong)")
+    elif verbose:
+        print(f"Check: mulmod volume OK ({n_mul} products, structured+random)")
+
+    ivals = pool + [rnd.randrange(1, P) for _ in range(max(0, n_inv - len(pool)))]
+    ivals = ivals[:n_inv]
+    got = run_chunks(ivals, None, field.modinv, n_inv)
+    bad = sum(1 for v, g in zip(ivals, got) if g != pow(v, P - 2, P))
+    if bad:
+        ok = False
+        if verbose:
+            print(f"Check: modinv volume FAILED ({bad}/{n_inv} wrong)")
+    elif verbose:
+        print(f"Check: modinv volume OK ({n_inv} inversions vs Fermat)")
+    return ok
 
 
 def pallas_lockstep_check(
@@ -370,6 +467,14 @@ def run_self_check(verbose: bool = True) -> bool:
     else:
         if verbose:
             print("Check: walk lockstep OK (64 lanes x 8 steps)")
+
+    # volume arithmetic (reference: 100k ModMulK1 / 10k ModInv); the
+    # CPU fallback keeps -check interactive with a smaller random fill
+    # but always the full structured pool.
+    if on_tpu:
+        ok = field_stress_check(verbose=verbose) and ok
+    else:
+        ok = field_stress_check(n_mul=20_000, n_inv=4_096, verbose=verbose) and ok
 
     # the kernel actually shipped to the device (Mosaic-lowered on TPU)
     # vs the XLA reference, production-shaped window.  Interpret mode

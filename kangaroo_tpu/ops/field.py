@@ -712,6 +712,57 @@ def _matmul_de(u, v, q, r, d, e):
     return res[:, :n], res[:, n:]
 
 
+# Packed divstep inner loop (KT_DSPACK): the 43x14 iteration chain is
+# the kernel's largest pure-latency block (~10.8 us per extra divstep
+# measured in production); packing (u, v, flow) / (q, r, glow) as
+# (3, N) rows turns the 7 per-value updates into 3 whole-array ops
+# sharing one sign multiplier -- ~26 -> ~15 dependent ops/iteration.
+# 1 = row-broadcast shifts ((3,1) shift operand), 2 = slice+concat
+# (fallback if Mosaic rejects non-splat shift amounts).  Bit-identical;
+# gated until measured on hardware.
+DSPACK = int(__import__("os").environ.get("KT_DSPACK", "0"))
+
+
+def _divstep_inner_packed(flow, glow, delta):
+    """14 divsteps on packed (3,N) low-word state; returns u,v,q,r,delta.
+
+    A = [u, v, flow], B = [q, r, glow] (int32; flow/glow wrap mod 2^32).
+    Per iteration both branches collapse to:
+        A' = where(swap, B, A) * [2, 2, 1]
+        B' = (B + A * where(swap, -1, odd)) >> [0, 0, 1]
+    which is exactly the unpacked update: on swap (q<<1, r<<1, glow |
+    q-u, r-v, (glow-flow)/2), else (u<<1, v<<1, flow | q+odd*u,
+    r+odd*v, (glow+odd*flow)/2).
+    """
+    n = flow.shape[0]
+    one = jnp.ones((1, n), dtype=_I32)
+    zero = jnp.zeros((1, n), dtype=_I32)
+    a = jnp.concatenate([one, zero, flow[None, :]], axis=0)
+    b = jnp.concatenate([zero, one, glow[None, :]], axis=0)
+    # row constants built in-trace (no captured arrays inside Pallas)
+    k1 = jnp.concatenate(
+        [jnp.full((2, 1), 2, dtype=_I32), jnp.ones((1, 1), dtype=_I32)],
+        axis=0,
+    )
+    s2 = jnp.concatenate(
+        [jnp.zeros((2, 1), dtype=_I32), jnp.ones((1, 1), dtype=_I32)],
+        axis=0,
+    )
+    for _ in range(DIVSTEP_W):
+        odd = b[2] & 1
+        swap = (delta > 0) & (odd == 1)
+        delta = jnp.where(swap, 2 - delta, 2 + delta)
+        sel = jnp.where(swap[None, :], b, a)
+        sgn = jnp.where(swap, jnp.full_like(odd, -1), odd)
+        bp = b + a * sgn[None, :]
+        a = sel * k1
+        if DSPACK == 1:
+            b = bp >> s2
+        else:
+            b = jnp.concatenate([bp[:2], bp[2:3] >> 1], axis=0)
+    return a[0], a[1], b[0], b[1], delta
+
+
 def _divstep_rounds(f, g, d, e, delta):
     """One outer round: 14 divsteps on low bits, then matrix application.
 
@@ -721,6 +772,11 @@ def _divstep_rounds(f, g, d, e, delta):
     """
     flow = _i(f[0]) + (_i(f[1]) << 16)
     glow = _i(g[0]) + (_i(g[1]) << 16)
+    if DSPACK:
+        u, v, q, r, delta = _divstep_inner_packed(flow, glow, delta)
+        f, g = _matmul_fg(u, v, q, r, f, g)
+        d, e = _matmul_de(u, v, q, r, d, e)
+        return f, g, d, e, delta
     u = jnp.ones_like(delta)
     v = jnp.zeros_like(delta)
     q = jnp.zeros_like(delta)

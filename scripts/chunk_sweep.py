@@ -53,32 +53,44 @@ def main() -> None:
     variants = []
     for spec in sys.argv[1:]:
         parts = [int(v) for v in spec.split(":")]
-        while len(parts) < 6:
+        while len(parts) < 8:
             parts.append(0)
-        # (mulw, walkw, block, full, toprow, outer); 0 = default / off
+        # (mulw, walkw, block, full, toprow, outer, dspack, invstop);
+        # 0 = default
         variants.append(tuple(parts))
     if not variants:
         variants = [
-            (0, 0, 0, 0, 0, 0),
-            (512, 0, 0, 0, 0, 0), (256, 0, 0, 0, 0, 0), (1024, 0, 0, 0, 0, 0),
-            (0, 512, 0, 0, 0, 0), (0, 1024, 0, 0, 0, 0),
-            (0, 512, 0, 1, 0, 0), (0, 1024, 0, 1, 0, 0),
-            (0, 0, 0, 0, 1, 0), (0, 512, 0, 1, 1, 0),
-            (512, 512, 0, 1, 1, 0), (256, 512, 0, 1, 1, 0),
+            (0, 0, 0, 0, 0, 0, 0, 0),
+            # packed divstep first: largest predicted single win
+            (0, 0, 0, 0, 0, 0, 1, 0), (0, 0, 0, 0, 0, 0, 2, 0),
+            (512, 0, 0, 0, 0, 0, 0, 0), (256, 0, 0, 0, 0, 0, 0, 0),
+            (1024, 0, 0, 0, 0, 0, 0, 0),
+            (0, 512, 0, 0, 0, 0, 0, 0), (0, 1024, 0, 0, 0, 0, 0, 0),
+            (0, 512, 0, 1, 0, 0, 0, 0), (0, 1024, 0, 1, 0, 0, 0, 0),
+            (0, 0, 0, 0, 1, 0, 0, 0), (0, 512, 0, 1, 1, 0, 0, 0),
+            (512, 512, 0, 1, 1, 0, 0, 0), (256, 512, 0, 1, 1, 0, 0, 0),
             # OUTER: short-dependency-chain column builder for the
             # latency-bound narrow fold-tree levels (<= thresh lanes)
-            (0, 0, 0, 0, 0, 512), (0, 0, 0, 0, 1, 512),
-            (0, 512, 0, 1, 1, 512), (0, 0, 0, 0, 0, 128),
+            (0, 0, 0, 0, 0, 512, 0, 0), (0, 0, 0, 0, 1, 512, 0, 0),
+            (0, 512, 0, 1, 1, 512, 0, 0), (0, 0, 0, 0, 0, 128, 0, 0),
+            # deeper fold: extra tree levels are narrow (~free),
+            # divstep narrower (512 was +43% WORSE; try the other way)
+            (0, 0, 0, 0, 0, 0, 0, 64), (0, 0, 0, 0, 0, 0, 0, 32),
+            # best-guess combined
+            (0, 512, 0, 1, 1, 0, 1, 0), (0, 512, 0, 1, 1, 512, 1, 0),
         ]
 
     interp = not on_tpu  # CPU smoke-testing only
-    for mulw, walkw, vblk, full, toprow, outer in variants:
+    stop0 = jump_pallas.INV_STOP
+    for mulw, walkw, vblk, full, toprow, outer, dspack, invstop in variants:
         blk = min(vblk or jump_pallas.DEFAULT_BLOCK, n)
         field.MUL_CHUNK = mulw
         jump_pallas.WALKW = walkw
         jump_pallas.WALKFULL = bool(full)
         field.TOPROW = bool(toprow)
         field.OUTER_THRESH = outer
+        field.DSPACK = dspack
+        jump_pallas.INV_STOP = invstop or stop0
         jax.clear_caches()
         try:
             out = jump_pallas.jump_steps_with_dp(
@@ -97,11 +109,14 @@ def main() -> None:
             dt = time.perf_counter() - t0
             rate = n * nb_run * reps / dt / 1e6
             print(f"mulw={mulw} walkw={walkw} blk={blk} full={full} "
-                  f"toprow={toprow} outer={outer} value={rate:.1f} MK/s",
-                  flush=True)
+                  f"toprow={toprow} outer={outer} dspack={dspack} "
+                  f"invstop={invstop or stop0} "
+                  f"value={rate:.1f} MK/s", flush=True)
         except Exception as e:  # keep sweeping on a failed variant
             print(f"mulw={mulw} walkw={walkw} blk={blk} full={full} "
-                  f"toprow={toprow} outer={outer} FAILED: {e!r}", flush=True)
+                  f"toprow={toprow} outer={outer} dspack={dspack} "
+                  f"invstop={invstop or stop0} "
+                  f"FAILED: {e!r}", flush=True)
 
 
 if __name__ == "__main__":

@@ -26,19 +26,23 @@ from kangaroo_tpu.utils.rng import MT19937
 
 
 @contextlib.contextmanager
-def variant(toprow=False, mulw=0, walkw=0, walkfull=False):
-    saved = (field.TOPROW, field.MUL_CHUNK,
-             jump_pallas.WALKW, jump_pallas.WALKFULL)
+def variant(toprow=False, mulw=0, walkw=0, walkfull=False, dspack=0,
+            outer=0):
+    saved = (field.TOPROW, field.MUL_CHUNK, field.DSPACK,
+             field.OUTER_THRESH, jump_pallas.WALKW, jump_pallas.WALKFULL)
     field.TOPROW = toprow
     field.MUL_CHUNK = mulw
+    field.DSPACK = dspack
+    field.OUTER_THRESH = outer
     jump_pallas.WALKW = walkw
     jump_pallas.WALKFULL = walkfull
     jax.clear_caches()
     try:
         yield
     finally:
-        (field.TOPROW, field.MUL_CHUNK,
-         jump_pallas.WALKW, jump_pallas.WALKFULL) = saved
+        (field.TOPROW, field.MUL_CHUNK, field.DSPACK,
+         field.OUTER_THRESH, jump_pallas.WALKW,
+         jump_pallas.WALKFULL) = saved
         jax.clear_caches()
 
 
@@ -101,13 +105,18 @@ VARIANTS = [
     dict(mulw=64),
     dict(walkw=64),
     dict(walkw=64, walkfull=True),
-    dict(toprow=True, mulw=64, walkw=64, walkfull=True),
+    dict(dspack=1),
+    dict(dspack=2),
+    dict(outer=256),
+    dict(toprow=True, mulw=64, walkw=64, walkfull=True, dspack=1,
+         outer=256),
 ]
 
 
 @pytest.mark.parametrize(
     "cfg", VARIANTS,
-    ids=["toprow", "mulw", "walkw", "walkfull", "all"],
+    ids=["toprow", "mulw", "walkw", "walkfull", "dspack1", "dspack2",
+         "outer", "all"],
 )
 def test_variant_walk_lockstep(cfg):
     """Each gated variant walks bit-identically to the default XLA path
