@@ -69,7 +69,7 @@ def make_sharded_jump_steps(
     kernel on its lane shard; no collectives are needed (DP drain
     happens on host).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local_step(px, py, d, jx, jy, jd, masks, symclass):
         if backend == "pallas":
@@ -102,6 +102,6 @@ def make_sharded_jump_steps(
             state, state, state, repl, repl, repl, P(None), P(HERD_AXIS)
         ),
         out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

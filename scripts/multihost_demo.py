@@ -89,7 +89,7 @@ def worker(pid: int, nproc: int, port: int) -> None:
     )
 
     # cross-process collective on the same mesh: global DP-hit count
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     total_hits = jax.jit(
         shard_map(
