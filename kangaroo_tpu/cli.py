@@ -28,6 +28,9 @@ def print_usage() -> None:
  -d dpBit: Specify number of leading zeros for the DP method (default is auto)
  -nk n: Number of kangaroos (herd lanes on device), default 2^18
  -nbrun n: Jumps per device tick (default: auto from DP size)
+ -nwin k: Launch windows fused per device dispatch (default: auto;
+       each dispatch costs a host round trip, fusing k windows
+       divides that overhead by k)
  -backend xla|pallas: Jump kernel backend (default pallas on TPU)
  -platform name: Force the JAX platform (e.g. cpu, tpu) before device
        init; use "-platform cpu" to run on hosts whose accelerator is
@@ -89,6 +92,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     symmetry = False
     nk = 1 << 18
     nb_run = 0  # auto
+    nwin = 0    # auto
     backend = ""
     n_devices = 0
     work_file = ""
@@ -118,6 +122,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             i += 1; nk = int(_arg(argv, i, a))
         elif a == "-nbrun":
             i += 1; nb_run = int(_arg(argv, i, a))
+        elif a == "-nwin":
+            i += 1; nwin = int(_arg(argv, i, a))
         elif a == "-backend":
             i += 1; backend = _arg(argv, i, a)
         elif a == "-platform":
@@ -251,6 +257,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         nb_kangaroo=nk,
         dp_size=dp,
         nb_run=nb_run,
+        windows_per_tick=nwin,
         max_step=max_step,
         backend=backend,
         out_file=out_file,

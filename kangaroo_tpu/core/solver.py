@@ -69,6 +69,13 @@ class SolverOptions:
     # fixed hit-gather width (0 = auto from the expected DP rate);
     # hits beyond it are pulled in chunks of the same width
     pull_pad: int = 0
+    # Launch windows fused into ONE device dispatch (lax.scan over the
+    # jump kernel, DP slots stacked per window).  Each host round trip
+    # costs ~0.6 s through a remote-device relay; fusing K windows
+    # divides that overhead by K without changing the walk.  0 = auto:
+    # extends the auto launch window past the per-window cap (engaged
+    # only when nb_run is auto too).
+    windows_per_tick: int = 0
     # Device watchdog: if a host read of device results blocks longer
     # than this many seconds (hung accelerator/relay), checkpoint the
     # hash table to the work file and abort the solve instead of
@@ -223,13 +230,25 @@ class KangarooSolver:
         if dp_size < 0:
             dp_size = self.balanced_dp(opts.nb_kangaroo)
         self.dp_size = dp_size
-        if opts.nb_run == 0:
+        auto_window = opts.nb_run == 0
+        if auto_window:
             # auto launch window: as long as possible (host and relay
             # overhead amortize over the window), floor 64 -- small-dp
             # runs raise the capture slot count instead of shrinking
             # the window (tiny windows made the 56-bit solve
             # host-bound at 6 MK/s vs the 88 MK/s kernel)
             opts.nb_run = max(64, min(1024, 1 << max(0, dp_size - 3)))
+        kw = opts.windows_per_tick
+        if kw == 0:
+            # auto: extend the desired 2^(dp-3) window past the
+            # per-window cap by fusing whole windows into one dispatch
+            # (slot budget is per window, so overflow odds are
+            # unchanged).  Only when the window itself was auto: an
+            # explicit -nbrun pins the dispatch granularity too.
+            if auto_window:
+                kw = max(1, min(8, (1 << max(0, dp_size - 3)) // opts.nb_run))
+            else:
+                kw = 1
         # capture slots from the expected hits per lane per window
         # (Poisson tail beyond the slots is counted and reported lost)
         lam = opts.nb_run / float(1 << dp_size)
@@ -378,6 +397,30 @@ class KangarooSolver:
                     symmetry=opts.symmetry, symclass=sc, slots=n_slots,
                 )
 
+        if kw > 1:
+            # Fuse kw launch windows into one dispatch: lax.scan over
+            # the per-window tick, DP outputs stacked on a leading
+            # window axis.  One host round trip then covers kw windows
+            # (the relay RTT is the solve loop's main overhead; the
+            # walk itself is bit-identical to kw separate ticks).
+            base_tick = tick_fn
+            sym = opts.symmetry
+
+            @jax.jit
+            def tick_fn(px, py, d, sc):
+                def body(carry, _):
+                    px, py, d, sc = carry
+                    o = base_tick(px, py, d, sc)
+                    sc2 = o[7] if sym else sc
+                    return (o[0], o[1], o[2], sc2), (o[3], o[4], o[5], o[6])
+
+                (px, py, d, sc), st = jax.lax.scan(
+                    body, (px, py, d, sc), None, length=kw
+                )
+                out = (px, py, d) + tuple(st)
+                if sym:
+                    out = out + (sc,)
+                return out
 
         sink_end = False
 
@@ -386,7 +429,7 @@ class KangarooSolver:
         # size -- ~30-90 s each through a remote compile service.
         # Sized at ~2x the expected hits per window; overflow is
         # handled by gathering in chunks of the same width.
-        exp_hits = n * opts.nb_run / float(1 << dp_size)
+        exp_hits = n * opts.nb_run * kw / float(1 << dp_size)
         pull_pad = opts.pull_pad or min(
             max(128, 1 << int(math.ceil(math.log2(2.0 * exp_hits + 64)))),
             n,
@@ -400,6 +443,15 @@ class KangarooSolver:
         # those are never used by the table or collision math.
         @jax.jit
         def gather_fn(dpx, dpd, dp_step, hit_idx):
+            if kw > 1:
+                # stacked (kw, slots, ., n) windows -> flat window-lane
+                # axis of width kw*n (flat index = window*n + lane,
+                # matching the flattened count read)
+                dpx = jnp.moveaxis(dpx, 0, 2).reshape(n_slots, 16, kw * n)
+                dpd = jnp.moveaxis(dpd, 0, 2).reshape(n_slots, 8, kw * n)
+                dp_step = jnp.moveaxis(dp_step, 0, 1).reshape(
+                    n_slots, kw * n
+                )
             return (
                 jnp.take(dpx[:, :10], hit_idx, axis=2),
                 jnp.take(dpd, hit_idx, axis=2),
@@ -419,6 +471,7 @@ class KangarooSolver:
             count_np = self._host_read(
                 lambda: np.asarray(count.astype(jnp.uint16))
             )
+            count_np = count_np.reshape(-1)  # (kw, n) -> window-lane
             hits = np.nonzero(count_np)[0]
             if not hits.size:
                 return None
@@ -485,8 +538,13 @@ class KangarooSolver:
             slot_i, pos_i = np.nonzero(np.arange(ns)[:, None] < cnt[None, :])
             if not slot_i.size:
                 return False
-            steps = step_np[slot_i, pos_i]
-            lanes = hits[pos_i]
+            flat = hits[pos_i]          # window*n + lane
+            # global step across the kw fused windows of this tick
+            steps = (
+                step_np[slot_i, pos_i].astype(np.int64)
+                + (flat // n) * opts.nb_run
+            )
+            lanes = flat % n
             order = np.lexsort((lanes, steps))  # walk order (step, lane)
             slot_i, pos_i = slot_i[order], pos_i[order]
             lanes = lanes[order]
@@ -599,11 +657,15 @@ class KangarooSolver:
             # process in walk order (step, then lane) so the table
             # fills like a sequential replay
             items = []
-            for pos, lane in enumerate(hits):
-                c = min(int(count_np[lane]), ns)
+            for pos, flat in enumerate(hits):
+                c = min(int(count_np[flat]), ns)
+                # flat = window*n + lane; order by the global step
+                # across the tick's kw fused windows
+                woff = int(flat) // n * opts.nb_run
                 for slot in range(c):
                     items.append(
-                        (int(step_np[slot, pos]), int(lane), pos, slot)
+                        (int(step_np[slot, pos]) + woff,
+                         int(flat) % n, pos, slot)
                     )
             items.sort()
             if dp_sink is not None:
@@ -683,7 +745,7 @@ class KangarooSolver:
                 px, py, d = out[0], out[1], out[2]
                 if opts.symmetry:
                     symclass = out[7]
-                self.stats.count += n * opts.nb_run
+                self.stats.count += n * opts.nb_run * kw
                 tick += 1
 
                 gath = enqueue_pull(pending) if pending is not None else None

@@ -78,3 +78,44 @@ def test_device_watchdog_host_read():
         s._host_read(lambda: _time.sleep(5))
     s.opts.device_timeout = 0.0
     assert s._host_read(lambda: 7) == 7
+
+
+def _run_ticks(cfg, ticks, windows, symmetry=False):
+    opts = SolverOptions(
+        nb_kangaroo=128, dp_size=4, nb_run=8, seed=99, n_devices=1,
+        symmetry=symmetry, windows_per_tick=windows, quiet=True,
+    )
+    s = KangarooSolver(cfg, opts)
+    s.solve(0, max_ticks=ticks)
+    return s
+
+
+@pytest.mark.parametrize("symmetry", [False, True])
+def test_windows_per_tick_parity(symmetry):
+    """kw fused windows (one lax.scan dispatch) advance the walk and
+    fill the table exactly like kw separate ticks: same total count and
+    bit-identical DP table for the same seed and total steps."""
+    width = (1 << 32) - 1
+    cfg, _ = make_problem(0x900000000, width, (width // 3) | 1)
+    s1 = _run_ticks(cfg, 8, 1, symmetry)
+    s4 = _run_ticks(cfg, 2, 4, symmetry)
+    assert s1.stats.dead == 0 and s4.stats.dead == 0
+    assert s1.stats.count == s4.stats.count
+    t1 = list(s1.hash_table.iter_sorted())
+    t4 = list(s4.hash_table.iter_sorted())
+    assert t1, "expected some DPs in the parity window"
+    assert t1 == t4
+
+
+def test_windows_per_tick_solves():
+    """A multi-window solve still recovers the key."""
+    width = (1 << 20) - 1
+    start = 0x5000000
+    cfg, k = make_problem(start, width, int(width * 0.53) | 1)
+    opts = SolverOptions(
+        nb_kangaroo=256, dp_size=2, nb_run=8, seed=42, n_devices=1,
+        windows_per_tick=4, quiet=True,
+    )
+    res = KangarooSolver(cfg, opts).solve(0, max_ticks=1000)
+    assert res is not None
+    assert res.private_key == k
