@@ -29,7 +29,11 @@ timeout 5400 python -u scripts/chunk_sweep.py 2>&1 | tee "$OUT/sweep.txt"
 echo "[$(stamp)] 2/3 bench.py (current defaults)..."
 timeout 900 python -u bench.py 2>&1 | tee "$OUT/bench.txt"
 
-echo "[$(stamp)] 3/3 -check (hardware lockstep)..."
+echo "[$(stamp)] 3/4 -check (hardware lockstep)..."
 timeout 1800 python -u -m kangaroo_tpu.cli -check 2>&1 | tee "$OUT/check.txt"
+
+echo "[$(stamp)] 4/4 56-bit solve wall rate (auto dp/nbrun/nwin)..."
+timeout 1800 python -u -m kangaroo_tpu.cli -nk 131072 \
+    fixtures/in56.txt 2>&1 | tee "$OUT/solve56.txt"
 
 echo "[$(stamp)] done; outputs in $OUT"
