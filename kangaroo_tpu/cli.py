@@ -36,7 +36,8 @@ def print_usage() -> None:
        init; use "-platform cpu" to run on hosts whose accelerator is
        absent or unreachable
  -sym: Equivalence-class walk over {P,-P} (~sqrt(2) speedup; work files
-       are NOT compatible with non-symmetric runs)
+       are NOT compatible with non-symmetric runs; in client/server
+       mode EVERY participant must use -sym)
  -devices n: Number of mesh devices to use (default all)
  -w workfile: Specify file to save work into (current processed key only)
  -i workfile: Specify file to load work from (current processed key only)
@@ -229,12 +230,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .core.solver import KangarooSolver, SolverOptions
 
     if symmetry and (server_mode or server_ip):
-        # The wire protocol has no symmetry marker and the server-side
-        # collision translation for recentered keys is not implemented;
-        # silently mixing -sym clients with a plain table can never
-        # solve (see ADVICE r1).  Refuse instead of corrupting work.
-        print("-sym is not supported in client/server mode")
-        return -1
+        # The wire protocol has no symmetry marker (the reference's
+        # USE_SYMMETRY is a compile-time property of every
+        # participant); the operator must start the server AND all
+        # clients with -sym or the distance conventions silently mix.
+        print("-sym network mode: ALL participants must run with -sym "
+              "(the wire has no symmetry marker)")
 
     if server_mode:
         if not in_file:
@@ -249,6 +250,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             cfg, dp, port=port,
             work_file=work_file, save_period=save_period,
             split_work_file=wsplit, out_file=out_file,
+            symmetry=symmetry,
         )
         server.run()
         return 0

@@ -37,17 +37,8 @@ class CheckReport:
         return self.n_wrong == 0
 
 
-def _check_batch(
-    dists: List[int],
-    types: List[int],
-    stored_x128: List[int],
-    stored_h: List[int],
-    key_to_search: curve.PointA,
-) -> int:
-    """Re-derive dist*G (+key when wild) on device; count mismatches.
-
-    Vectorized counterpart of CheckHash (Check.cpp:33-108).
-    """
+def _derive_x(dists, types, key_to_search):
+    """x-coords of dist*G (+key when wild) for a batch of DPs."""
     import jax.numpy as jnp
 
     from ..ops import ec
@@ -74,18 +65,61 @@ def _check_batch(
         )
         sel = jnp.asarray(wild)[None, :]
         px = jnp.where(sel, wx, px)
+    return limbs_to_ints_fast(np.asarray(px))
 
-    xs = limbs_to_ints_fast(np.asarray(px))
+
+def _check_batch(
+    dists: List[int],
+    types: List[int],
+    stored_x128: List[int],
+    stored_h: List[int],
+    key_to_search: curve.PointA,
+    symmetry: bool = False,
+) -> int:
+    """Re-derive dist*G (+key when wild) on device; count mismatches.
+
+    Vectorized counterpart of CheckHash (Check.cpp:33-108).  In
+    symmetry mode the walk invariant is P = +-key + d*G (the class
+    sign flips with the equivalence-class normalization and is not
+    stored in the DP record), so a wild DP is valid when its x matches
+    EITHER key + d*G or key - d*G; tame x is sign-invariant already.
+    """
+    xs = _derive_x(dists, types, key_to_search)
+    xs2 = None
+    if symmetry and any(t == 1 for t in types):
+        xs2 = _derive_x(
+            [(-d) % N_ORDER for d in dists], types, key_to_search
+        )
     wrong = 0
     for i, x in enumerate(xs):
         x = int(x)
-        if (x & _MASK128) != stored_x128[i] or ((x >> 128) & HASH_MASK) != stored_h[i]:
+        ok = (
+            (x & _MASK128) == stored_x128[i]
+            and ((x >> 128) & HASH_MASK) == stored_h[i]
+        )
+        if not ok and xs2 is not None and types[i] == 1:
+            x2 = int(xs2[i])
+            ok = (
+                (x2 & _MASK128) == stored_x128[i]
+                and ((x2 >> 128) & HASH_MASK) == stored_h[i]
+            )
+        if not ok:
             wrong += 1
     return wrong
 
 
+def _hdr_symmetry(hdr) -> bool:
+    from ..io.backup import SYM_VERSION
+
+    return hdr.version == SYM_VERSION
+
+
 def _key_to_search(hdr) -> curve.PointA:
     sp = hdr.range_start % N_ORDER
+    if _hdr_symmetry(hdr):
+        # -sym files recenter the key on the range midpoint (same
+        # translation as KangarooSolver.init_search_key)
+        sp = (sp + ((hdr.range_end - hdr.range_start) >> 1)) % N_ORDER
     if sp != 0:
         return curve.add(hdr.key, curve.mul(sp).neg())
     return hdr.key
@@ -103,6 +137,7 @@ def check_work_file(path: str, batch: int = 4096) -> CheckReport:
     with open(path, "rb") as f:
         hdr = merge_mod.read_work_header(f, path)
         key = _key_to_search(hdr)
+        sym = _hdr_symmetry(hdr)
         pend_d: List[int] = []
         pend_t: List[int] = []
         pend_x: List[int] = []
@@ -110,7 +145,9 @@ def check_work_file(path: str, batch: int = 4096) -> CheckReport:
 
         def flush():
             if pend_d:
-                report.n_wrong += _check_batch(pend_d, pend_t, pend_x, pend_h, key)
+                report.n_wrong += _check_batch(
+                    pend_d, pend_t, pend_x, pend_h, key, symmetry=sym
+                )
                 report.n_items += len(pend_d)
                 pend_d.clear(); pend_t.clear(); pend_x.clear(); pend_h.clear()
 
@@ -141,6 +178,7 @@ def check_partitioned(directory: str, batch: int = 4096) -> CheckReport:
     with open(header, "rb") as f:
         hdr = merge_mod.read_work_header(f, header)
     key = _key_to_search(hdr)
+    sym = _hdr_symmetry(hdr)
     report = CheckReport()
     pend_d: List[int] = []
     pend_t: List[int] = []
@@ -149,7 +187,9 @@ def check_partitioned(directory: str, batch: int = 4096) -> CheckReport:
 
     def flush():
         if pend_d:
-            report.n_wrong += _check_batch(pend_d, pend_t, pend_x, pend_h, key)
+            report.n_wrong += _check_batch(
+                pend_d, pend_t, pend_x, pend_h, key, symmetry=sym
+            )
             report.n_items += len(pend_d)
             pend_d.clear(); pend_t.clear(); pend_x.clear(); pend_h.clear()
 

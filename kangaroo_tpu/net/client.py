@@ -204,7 +204,8 @@ def run_client(
 
     if load_file:
         solver.loaded_kangaroos = backup_mod.load_kangaroo_file(
-            load_file, cfg.range_start, cfg.range_end, solver.key_to_search
+            load_file, cfg.range_start, cfg.range_end, solver.key_to_search,
+            symmetry=opts.symmetry,
         )
     elif save_kangaroo_server and opts.work_file:
         try:
@@ -213,7 +214,8 @@ def run_client(
             d128s = []
         if d128s:
             solver.loaded_kangaroos = backup_mod.rebuild_from_d128(
-                d128s, cfg.range_start, cfg.range_end, solver.key_to_search
+                d128s, cfg.range_start, cfg.range_end, solver.key_to_search,
+                symmetry=opts.symmetry,
             )
             if not quiet:
                 print(f"Restored {len(d128s)} kangaroos from server backup")
@@ -224,7 +226,8 @@ def run_client(
             ds = limbs_to_ints_fast(d)
             d128s = []
             for i in range(px.shape[1]):
-                dist = true_distance(int(ds[i]), i % 2, s.width_div2)
+                dist = true_distance(int(ds[i]), i % 2, s.width_div2,
+                                     symmetry=opts.symmetry)
                 d128s.append(ht_convert(0, dist, i % 2)[2])
             try:
                 conn.save_kangaroos_via_server(opts.work_file, d128s)

@@ -53,6 +53,7 @@ class DPServer:
         out_file: str = "",
         timeout: float = 3.0,
         validate_points: bool = False,
+        symmetry: bool = False,
     ):
         self.cfg = cfg
         self.dp_size = dp_size
@@ -82,10 +83,21 @@ class DPServer:
         self.saving = False
         self._save_thread: Optional[threading.Thread] = None
 
+        # Equivalence-class mode: every client MUST also walk with -sym
+        # (the reference's USE_SYMMETRY is a compile-time property of
+        # all participants; the wire format is unchanged, only the
+        # distance convention and the collision key translation shift)
+        self.symmetry = symmetry
+
         self.range_start = cfg.range_start
         self.range_end = cfg.range_end
+        self.width_div2 = (cfg.range_end - cfg.range_start) >> 1
         key = cfg.keys[0]
         sp = self.range_start % N_ORDER
+        if symmetry:
+            # recenter on the range midpoint so wild distances straddle
+            # zero (same translation as KangarooSolver.init_search_key)
+            sp = (sp + self.width_div2) % N_ORDER
         if sp != 0:
             self.key_to_search = curve.add(key, curve.mul(sp).neg())
         else:
@@ -258,11 +270,13 @@ class DPServer:
             hs.append(rec.h)
         # fast path: one batched re-derivation; only on failure narrow
         # down record-by-record
-        if _check_batch(dists, types, xs, hs, self.key_to_search) == 0:
+        if _check_batch(dists, types, xs, hs, self.key_to_search,
+                        symmetry=self.symmetry) == 0:
             return records
         for i, rec in enumerate(records):
             wrong = _check_batch(
-                [dists[i]], [types[i]], [xs[i]], [hs[i]], self.key_to_search
+                [dists[i]], [types[i]], [xs[i]], [hs[i]],
+                self.key_to_search, symmetry=self.symmetry,
             )
             if wrong:
                 self.rejected += 1
@@ -277,6 +291,7 @@ class DPServer:
             d1, t1, d2, t2,
             self.key_to_search, self.key_to_search_neg,
             self.range_start,
+            width_div2_sym=(self.width_div2 if self.symmetry else None),
         )
         if res is not None:
             self.result = res
@@ -352,6 +367,7 @@ class DPServer:
         hdr = WorkHeader(
             self.dp_size, self.range_start, self.range_end,
             self.cfg.keys[self.key_idx], 0, 0.0,
+            version=backup_mod.SYM_VERSION if self.symmetry else 0,
         )
 
         def write():

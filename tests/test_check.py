@@ -80,3 +80,61 @@ def test_wcheck_partitioned(tmp_path):
 @pytest.mark.slow
 def test_self_check():
     assert run_self_check(verbose=False)
+
+
+def test_wcheck_symmetry_file(tmp_path):
+    """-wcheck on a -sym work file: the header's sym marker switches
+    the key translation to the range midpoint and wild DPs are valid
+    for either sign of the walk invariant P = +-key + d*G."""
+    from kangaroo_tpu.core.config import ProblemConfig
+    from kangaroo_tpu.core.solver import KangarooSolver, SolverOptions
+
+    start = 0x40000
+    cfg = ProblemConfig(
+        start, start + (1 << 16) - 1, [curve.mul(start + 0xBEE)]
+    )
+    opts = SolverOptions(
+        nb_kangaroo=64, dp_size=1, nb_run=8, seed=5, n_devices=1,
+        symmetry=True, quiet=True,
+    )
+    s = KangarooSolver(cfg, opts)
+    s.solve(0, max_ticks=4)
+    wf = str(tmp_path / "sym.work")
+    backup.save_work(wf, s, None, None, None, s.stats.count, 1.0,
+                     save_kangaroo=False)
+    rep = check_work_file(wf)
+    assert rep.n_items > 0
+    assert rep.n_wrong == 0
+
+
+def test_server_validation_symmetry():
+    """DPServer point validation accepts sym DPs (both wild signs) and
+    still rejects corrupt records."""
+    from kangaroo_tpu.core.config import ProblemConfig
+    from kangaroo_tpu.core.hashtable import calc_dist_and_type
+    from kangaroo_tpu.core.solver import KangarooSolver, SolverOptions
+    from kangaroo_tpu.net import protocol as proto
+    from kangaroo_tpu.net.server import DPServer
+
+    start = 0x40000
+    cfg = ProblemConfig(
+        start, start + (1 << 16) - 1, [curve.mul(start + 0xBEE)]
+    )
+    opts = SolverOptions(
+        nb_kangaroo=64, dp_size=1, nb_run=8, seed=5, n_devices=1,
+        symmetry=True, quiet=True,
+    )
+    s = KangarooSolver(cfg, opts)
+    s.solve(0, max_ticks=2)
+    recs = [
+        proto.DPRecord(0, h, x128, d128)
+        for h, x128, d128 in s.hash_table.iter_sorted()
+    ]
+    assert recs
+    srv = DPServer(cfg, 1, port=0, symmetry=True, validate_points=True)
+    good = srv._validate(recs)
+    assert len(good) == len(recs) and srv.rejected == 0
+    bad = recs[:8] + [proto.DPRecord(0, recs[0].h, recs[0].x128 ^ 1,
+                                     recs[0].d128)]
+    good = srv._validate(bad)
+    assert len(good) == 8 and srv.rejected == 1

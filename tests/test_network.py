@@ -159,3 +159,31 @@ def test_client_server_kangaroo_backup_flow(tmp_path, monkeypatch):
             "kang.srv", cfg.range_start, cfg.range_end, srv.key_to_search
         )
         assert px.shape == (16, 64)
+
+
+def test_loopback_solve_symmetry():
+    """-sym network mode: server started with symmetry resolves the
+    shifted collision from a -sym client (reference parity: a
+    USE_SYMMETRY build applies to client/server mode too)."""
+    start = 0x40000
+    cfg = ProblemConfig(
+        start, start + (1 << 16) - 1, [curve.mul(start + 0xBEE)]
+    )
+    srv = DPServer(cfg, 1, port=0, symmetry=True)
+    srv.process_period = 0.2
+    t = threading.Thread(
+        target=srv.run, kwargs={"max_seconds": 120, "quiet": True}, daemon=True
+    )
+    t.start()
+    time.sleep(0.8)
+
+    opts = SolverOptions(
+        nb_kangaroo=64, nb_run=8, seed=5, n_devices=1, symmetry=True,
+    )
+    run_client(
+        "127.0.0.1", srv.port, opts,
+        timeout=5.0, max_ticks=4000, quiet=True, send_period=0.2,
+    )
+    t.join(timeout=30)
+    assert srv.result is not None
+    assert srv.result.private_key == start + 0xBEE
