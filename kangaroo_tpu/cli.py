@@ -238,11 +238,29 @@ def main(argv: Optional[List[str]] = None) -> int:
               "(the wire has no symmetry marker)")
 
     if server_mode:
-        if not in_file:
+        if not in_file and not load_file:
             print_usage()
         from .net.server import DPServer
 
-        cfg = parse_config_file(in_file)
+        lw = None
+        if load_file:
+            # resume the server from a saved work file (reference:
+            # LoadWork before RunServer, main.cpp:338-352)
+            from .io.backup import load_work
+
+            lw = load_work(load_file)
+            cfg = ProblemConfig(lw.range_start, lw.range_end, [lw.key])
+            if dp < 0:
+                dp = lw.dp_size
+            if lw.symmetry != symmetry:
+                print(
+                    f"{load_file}: work file was saved "
+                    f"{'with' if lw.symmetry else 'without'} -sym; "
+                    f"adopting the file's convention"
+                )
+                symmetry = lw.symmetry
+        else:
+            cfg = parse_config_file(in_file)
         if dp < 0:
             print("Server mode requires -d (fixed DP size)")
             return -1
@@ -252,6 +270,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             split_work_file=wsplit, out_file=out_file,
             symmetry=symmetry,
         )
+        if lw is not None:
+            from .core.hashtable import NativeHashTable
+
+            if isinstance(server.hash_table, NativeHashTable):
+                server.hash_table.absorb(lw.hash_table)
+            else:
+                server.hash_table = lw.hash_table
+            print(f"Loaded: {server.hash_table.n_items()} DPs")
         server.run()
         return 0
 

@@ -187,3 +187,43 @@ def test_loopback_solve_symmetry():
     t.join(timeout=30)
     assert srv.result is not None
     assert srv.result.private_key == start + 0xBEE
+
+
+def test_cli_server_resume_from_workfile(tmp_path, monkeypatch):
+    """-s -i workfile: the CLI seeds the server from a saved table and
+    adopts the file's dp/symmetry (reference: LoadWork before
+    RunServer, main.cpp:338-352)."""
+    from kangaroo_tpu import cli
+    from kangaroo_tpu.core.solver import KangarooSolver
+    from kangaroo_tpu.io.backup import save_work
+
+    start = 0x40000
+    cfg = ProblemConfig(
+        start, start + (1 << 16) - 1, [curve.mul(start + 0xBEE)]
+    )
+    opts = SolverOptions(
+        nb_kangaroo=64, dp_size=1, nb_run=8, seed=5, n_devices=1,
+        symmetry=True, quiet=True,
+    )
+    s = KangarooSolver(cfg, opts)
+    s.solve(0, max_ticks=2)
+    n_saved = s.hash_table.n_items()
+    assert n_saved > 0
+    wf = str(tmp_path / "srv.work")
+    save_work(wf, s, None, None, None, s.stats.count, 1.0,
+              save_kangaroo=False)
+
+    captured = {}
+
+    def fake_run(self, *a, **kw):
+        captured["srv"] = self
+
+    monkeypatch.setattr(DPServer, "run", fake_run)
+    rc = cli.main(["-s", "-i", wf])
+    assert rc == 0
+    srv = captured["srv"]
+    assert srv.dp_size == 1
+    assert srv.symmetry is True
+    assert srv.hash_table.n_items() == n_saved
+    assert srv.range_start == cfg.range_start
+    assert srv.cfg.keys[0] == cfg.keys[0]
