@@ -78,6 +78,10 @@ def main() -> None:
             (0, 0, 0, 0, 0, 0, 0, 64), (0, 0, 0, 0, 0, 0, 0, 32),
             # best-guess combined
             (0, 512, 0, 1, 1, 0, 1, 0), (0, 512, 0, 1, 1, 512, 1, 0),
+            # packed divstep may shift the optimal fold stop upward
+            # (divstep per-lane cost dropped ~40%): retry wider stops
+            (0, 0, 0, 0, 0, 0, 1, 256), (0, 0, 0, 0, 0, 0, 2, 256),
+            (0, 0, 0, 0, 0, 0, 1, 64),
         ]
 
     interp = not on_tpu  # CPU smoke-testing only
