@@ -51,6 +51,11 @@ def main() -> None:
             "unit": "MK/s",
             "vs_baseline": 0.0,
             "error": f"accelerator unreachable: {err}",
+            # last completed hardware measurement (TPU v5e-1, 2^19
+            # lanes, production Pallas kernel; see ROUND_NOTES.md) --
+            # informational only, NOT this run's measurement
+            "last_hw_measured": {"value": 89.1, "unit": "MK/s",
+                                 "date": "2026-08-17"},
         }), flush=True)
         os._exit(0)
     on_tpu = platform == "tpu"
