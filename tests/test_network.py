@@ -227,3 +227,56 @@ def test_cli_server_resume_from_workfile(tmp_path, monkeypatch):
     assert srv.hash_table.n_items() == n_saved
     assert srv.range_start == cfg.range_start
     assert srv.cfg.keys[0] == cfg.keys[0]
+
+
+def test_multi_client_ingest():
+    """Concurrent clients stream DP batches; the dedicated process
+    thread drains them all without loss (reference: ProcessServer,
+    Thread.cpp:165-234; our server must feed hundreds of clients)."""
+    import numpy as np
+
+    start = 0x40000
+    cfg = ProblemConfig(
+        start, start + (1 << 30) - 1, [curve.mul(start + 0x12345)]
+    )
+    srv = DPServer(cfg, 20, port=0)
+    srv.process_period = 0.1
+    t = threading.Thread(
+        target=srv.run, kwargs={"max_seconds": 120, "quiet": True},
+        daemon=True,
+    )
+    t.start()
+    time.sleep(0.8)
+
+    n_clients, per_client = 4, 20000
+
+    def client(cid):
+        rng = np.random.RandomState(cid)
+        conn = ServerConnection("127.0.0.1", srv.port, timeout=10.0)
+        conn.connect(); conn.get_config(); conn.set_kangaroo_number(64)
+        recs = [
+            proto.DPRecord(
+                i & 0xFFFF, int(rng.randint(0, 1 << 18)),
+                (int(rng.randint(0, 1 << 62)) << 64)
+                | (cid * per_client + i),
+                int(rng.randint(0, 1 << 61)),
+            )
+            for i in range(per_client)
+        ]
+        for off in range(0, per_client, 5000):
+            conn.send_dps(recs[off:off + 5000])
+        conn.close()
+
+    ths = [threading.Thread(target=client, args=(c,)) for c in range(n_clients)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    total = n_clients * per_client
+    deadline = time.time() + 60
+    while (srv.hash_table.n_items() + srv.dead < total
+           and time.time() < deadline):
+        time.sleep(0.2)
+    assert srv.hash_table.n_items() + srv.dead == total
+    srv.end_of_search = True
+    t.join(timeout=10)
