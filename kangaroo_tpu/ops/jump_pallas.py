@@ -64,6 +64,12 @@ WALKFULL = __import__("os").environ.get("KT_WALKFULL", "0") == "1"
 # are attributed under real register/VMEM pressure (isolated-harness
 # deltas proved misleading).  Empty in production.
 _PROBE = __import__("os").environ.get("KT_PROBE", "")
+# Radix-13 hot path (ops/field13.py): split-free multiplies and
+# exact-carry-free relaxed ops at 21 digit rows.  State, DP slots and
+# every external format stay radix-16; conversion happens in the
+# kernel prologue/epilogue.  Non-symmetric walks only (symmetry falls
+# back to the radix-16 kernel).
+RADIX13 = __import__("os").environ.get("KT_RADIX13", "0") == "1"
 
 
 def _probe_extra(px, py, qx=None, qy=None):
@@ -147,6 +153,105 @@ def _gather_onehot(jmp: jnp.ndarray, tbl: jnp.ndarray) -> jnp.ndarray:
     lo_u = lo.astype(jnp.int32).astype(jnp.uint32)
     hi_u = hi.astype(jnp.int32).astype(jnp.uint32)
     return lo_u | (hi_u << 8)
+
+
+def _masks13_from16(masks16: jnp.ndarray) -> jnp.ndarray:
+    """Traceable (4,) 16-bit DP limb masks -> (21, 1) 13-bit digit masks.
+
+    The 16-bit masks cover bits 192..255 of x (limbs 12..15,
+    jump_ref.dp_limb_masks); digit i of the radix-13 form covers bits
+    [13i, 13i+13).  All shifts are static; works on tracers so the
+    radix-13 kernel keeps the same jump_steps_with_dp signature.
+    """
+    m_lo = masks16[0] | (masks16[1] << 16)   # bits 192..223
+    m_hi = masks16[2] | (masks16[3] << 16)   # bits 224..255
+    rows = []
+    for i in range(21):
+        lo_b, hi_b = 13 * i, 13 * i + 13
+        acc = jnp.zeros((), jnp.uint32)
+        for src, base in ((m_lo, 192), (m_hi, 224)):
+            s_lo = max(lo_b, base)
+            s_hi = min(hi_b, base + 32, 256)
+            if s_lo < s_hi:
+                width = s_hi - s_lo
+                seg = (src >> (s_lo - base)) & jnp.uint32(
+                    (1 << width) - 1
+                )
+                acc = acc | (seg << (s_lo - lo_b))
+        rows.append(acc.reshape(1, 1))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _jump_kernel13(
+    jt_ref, mask_ref,
+    px_ref, py_ref, d_ref, sc_ref,
+    opx_ref, opy_ref, od_ref, osc_ref,
+    cnt_ref, dpx_ref, dpd_ref, step_ref,
+    dpx13_ref,
+    *, nb_run: int, slots: int,
+):
+    """Radix-13 walk kernel (non-symmetric).
+
+    Same walk semantics and outputs as _jump_kernel: the arithmetic
+    runs on 21-row 13-bit digits (ops/field13.py), state converts at
+    the window boundary, and canonical-x DP slots accumulate in a
+    radix-13 VMEM scratch that the epilogue packs into the public
+    (slots*16, n) layout.
+    """
+    from . import field13 as f13
+
+    jtbl = jt_ref[:, :]                    # (50, 32): jx13|jy13|jd
+    masks = mask_ref[:, :]                 # (21, 1)
+    n = px_ref.shape[1]
+
+    dpx13_ref[:, :] = jnp.zeros((slots * 21, n), jnp.uint32)
+    dpd_ref[:, :] = jnp.zeros((slots * 8, n), jnp.uint32)
+    step_ref[:, :] = jnp.zeros((slots, n), jnp.uint32)
+
+    px13 = f13.unpack16(px_ref[:, :])      # canonical -> exact digits
+    py13 = f13.unpack16(py_ref[:, :])      # relaxed 16-row, exact limbs
+
+    def body(i, st):
+        px, py, d, count = st
+        jmp = px[0] & jnp.uint32(NB_JUMP - 1)
+        q = _gather_onehot(jmp, jtbl)
+        qx, qy, qd = q[:21], q[21:42], q[42:50]
+        dx = f13.submod13(qx, px)
+        inv = f13.batch_inv13(dx, stop=min(INV_STOP, n))
+        dy = f13.submod13(qy, py)
+        lam = f13.mulmod13(dy, inv)
+        x3 = f13.sqrmod13(lam, sub=(px, qx), canonical=True)
+        y3 = f13.mulmod13(lam, f13.submod13(qx, x3), sub=(qy,))
+        d = field.add_u128(d, qd)
+        hit = f13.is_dp13(x3, masks)
+        for s in range(slots):
+            sl = hit & (count == jnp.uint32(s))
+            slm = sl[None, :]
+            dpx13_ref[21 * s:21 * (s + 1), :] = jnp.where(
+                slm, x3, dpx13_ref[21 * s:21 * (s + 1), :]
+            )
+            dpd_ref[8 * s:8 * (s + 1), :] = jnp.where(
+                slm, d, dpd_ref[8 * s:8 * (s + 1), :]
+            )
+            step_ref[s:s + 1, :] = jnp.where(
+                slm, jnp.uint32(i), step_ref[s:s + 1, :]
+            )
+        return x3, y3, d, count + hit.astype(jnp.uint32)
+
+    px13, py13, d, count = jax.lax.fori_loop(
+        0, nb_run, body,
+        (px13, py13, d_ref[:, :], jnp.zeros((n,), jnp.uint32)),
+    )
+
+    opx_ref[:, :] = f13.pack16(px13)       # canonical, exact
+    opy_ref[:, :] = f13.pack16(f13.canonicalize13(py13))
+    od_ref[:, :] = d
+    osc_ref[:, :] = sc_ref[:, :]
+    cnt_ref[:, :] = count[None, :]
+    for s in range(slots):
+        dpx_ref[16 * s:16 * (s + 1), :] = f13.pack16(
+            dpx13_ref[21 * s:21 * (s + 1), :]
+        )
 
 
 def _jump_kernel(
@@ -354,6 +459,62 @@ def jump_steps_with_dp(
     full_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+
+    if RADIX13 and not symmetry:
+        from . import field13 as f13
+
+        jt13 = jnp.concatenate(
+            [f13.unpack16(jx), f13.unpack16(jy), jd], axis=0
+        )                                      # (50, 32)
+        m13 = _masks13_from16(dp_masks)        # (21, 1)
+        out_shapes = (
+            jax.ShapeDtypeStruct((16, n), jnp.uint32),          # px
+            jax.ShapeDtypeStruct((16, n), jnp.uint32),          # py
+            jax.ShapeDtypeStruct((8, n), jnp.uint32),           # d
+            jax.ShapeDtypeStruct((1, n), jnp.uint32),           # symclass
+            jax.ShapeDtypeStruct((1, n), jnp.uint32),           # count
+            jax.ShapeDtypeStruct((slots * 16, n), jnp.uint32),  # dpx
+            jax.ShapeDtypeStruct((slots * 8, n), jnp.uint32),   # dpd
+            jax.ShapeDtypeStruct((slots, n), jnp.uint32),       # step
+        )
+        out_specs = (
+            state_spec(16), state_spec(16), state_spec(8), state_spec(1),
+            state_spec(1), state_spec(slots * 16), state_spec(slots * 8),
+            state_spec(slots),
+        )
+        in_specs = [
+            full_spec((50, NB_JUMP)),
+            full_spec((21, 1)),
+            state_spec(16), state_spec(16), state_spec(8), state_spec(1),
+        ]
+        kernel = functools.partial(
+            _jump_kernel13, nb_run=nb_run, slots=slots
+        )
+        kw = {}
+        if not interpret:
+            kw["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
+        opx, opy, od, osc, cnt, dpx, dpd, dstep = pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=out_shapes,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
+            scratch_shapes=[
+                pltpu.VMEM((slots * 21, blk), jnp.uint32)
+            ],
+            interpret=interpret,
+            **kw,
+        )(jt13, m13, px, py, d, symclass[None, :])
+        return (
+            opx, opy, od,
+            cnt[0],
+            dpx.reshape(slots, 16, n),
+            dpd.reshape(slots, 8, n),
+            dstep,
+        )
 
     out_shapes = (
         jax.ShapeDtypeStruct((16, n), jnp.uint32),         # px

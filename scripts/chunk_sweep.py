@@ -53,10 +53,10 @@ def main() -> None:
     variants = []
     for spec in sys.argv[1:]:
         parts = [int(v) for v in spec.split(":")]
-        while len(parts) < 8:
+        while len(parts) < 9:
             parts.append(0)
-        # (mulw, walkw, block, full, toprow, outer, dspack, invstop);
-        # 0 = default
+        # (mulw, walkw, block, full, toprow, outer, dspack, invstop,
+        # radix13); 0 = default
         variants.append(tuple(parts))
     if not variants:
         variants = [
@@ -82,11 +82,16 @@ def main() -> None:
             # (divstep per-lane cost dropped ~40%): retry wider stops
             (0, 0, 0, 0, 0, 0, 1, 256), (0, 0, 0, 0, 0, 0, 2, 256),
             (0, 0, 0, 0, 0, 0, 1, 64),
+            # radix-13 hot path (split-free, exact-carry-free tree)
+            (0, 0, 0, 0, 0, 0, 0, 0, 1),
+            (0, 0, 0, 0, 0, 0, 1, 0, 1),
         ]
 
     interp = not on_tpu  # CPU smoke-testing only
     stop0 = jump_pallas.INV_STOP
-    for mulw, walkw, vblk, full, toprow, outer, dspack, invstop in variants:
+    variants = [v + (0,) * (9 - len(v)) for v in variants]
+    for (mulw, walkw, vblk, full, toprow, outer, dspack, invstop,
+         radix13) in variants:
         blk = min(vblk or jump_pallas.DEFAULT_BLOCK, n)
         field.MUL_CHUNK = mulw
         jump_pallas.WALKW = walkw
@@ -95,6 +100,7 @@ def main() -> None:
         field.OUTER_THRESH = outer
         field.DSPACK = dspack
         jump_pallas.INV_STOP = invstop or stop0
+        jump_pallas.RADIX13 = bool(radix13)
         jax.clear_caches()
         try:
             out = jump_pallas.jump_steps_with_dp(
@@ -114,12 +120,12 @@ def main() -> None:
             rate = n * nb_run * reps / dt / 1e6
             print(f"mulw={mulw} walkw={walkw} blk={blk} full={full} "
                   f"toprow={toprow} outer={outer} dspack={dspack} "
-                  f"invstop={invstop or stop0} "
+                  f"invstop={invstop or stop0} radix13={radix13} "
                   f"value={rate:.1f} MK/s", flush=True)
         except Exception as e:  # keep sweeping on a failed variant
             print(f"mulw={mulw} walkw={walkw} blk={blk} full={full} "
                   f"toprow={toprow} outer={outer} dspack={dspack} "
-                  f"invstop={invstop or stop0} "
+                  f"invstop={invstop or stop0} radix13={radix13} "
                   f"FAILED: {e!r}", flush=True)
 
 

@@ -185,3 +185,46 @@ def test_variant_walk_lockstep_symmetry():
     names = ["px", "py", "d", "count", "dpx", "dpd", "dp_step", "symclass"]
     for name, want, g in zip(names, base, got):
         np.testing.assert_array_equal(g, want, err_msg=name)
+
+
+def test_radix13_walk_lockstep():
+    """KT_RADIX13 kernel vs the default XLA walk: identical canonical
+    x, distances, DP slots; y compared canonically (the radix-13
+    kernel emits canonical y, the reference path a relaxed
+    representative of the same class)."""
+    n = 256
+    nb_run = 16
+    dp_size = 6
+    jt = create_jump_table(64)
+    jx, jy, jd = (jnp.asarray(x) for x in jt.as_arrays())
+    masks = jnp.asarray(jump_ref.dp_limb_masks(dp_size))
+    rng = MT19937(4242)
+    width_div2 = ((1 << 64) - 1) >> 1
+    key = curve.mul(0x5EED5EED)
+    px, py, d = herd_mod.create_herd(n, 64, width_div2, key, 0, rng)
+    px, py, d = jnp.asarray(px), jnp.asarray(py), jnp.asarray(d)
+
+    base = [
+        np.asarray(x) for x in jump_ref.jump_steps_with_dp(
+            px, py, d, jx, jy, jd, masks, nb_run=nb_run, inv_stop=64
+        )
+    ]
+    assert base[3].sum() > 0
+    saved = jump_pallas.RADIX13
+    jump_pallas.RADIX13 = True
+    jax.clear_caches()
+    try:
+        got = [
+            np.asarray(x) for x in jump_pallas.jump_steps_with_dp(
+                px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=n,
+                interpret=True,
+            )
+        ]
+    finally:
+        jump_pallas.RADIX13 = saved
+        jax.clear_caches()
+    names = ["px", "py", "d", "count", "dpx", "dpd", "dp_step"]
+    for name, want, g in zip(names, base, got):
+        if name == "py":
+            want = np.asarray(field.canonicalize(jnp.asarray(want)))
+        np.testing.assert_array_equal(g, want, err_msg=name)
