@@ -491,3 +491,29 @@ def is_dp13(px: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
     """Lane-wise DP test on canonical (21, N) digits; masks (21, 1)."""
     acc = jnp.sum(field._i(px & masks), axis=0)
     return acc == 0
+
+
+# ----------------------------------------------------------------------
+# Symmetry helpers (equivalence-class walk)
+# ----------------------------------------------------------------------
+
+# 2^256 - (p+1)/2 as canonical digits: y >= (p+1)/2  <=>
+# y + HPC carries out of bit 256 (digit19 bit 9 after an exact carry)
+_HPC = (1 << 256) - ((P + 1) >> 1)
+HPC13 = np.array([(_HPC >> (13 * i)) & M13 for i in range(20)],
+                 dtype=np.uint32)
+
+
+def y_is_high13(yc: jnp.ndarray) -> jnp.ndarray:
+    """1 where canonical y > p/2 (field.y_is_high semantics), (N,) u32.
+
+    Entry: exact canonical digits < 2^13 (from canonicalize13), so
+    yc + HPC digits <= 2^14 - 2 go straight into one exact carry."""
+    s = yc[:20] + _const_rows(HPC13, yc)
+    e, _ = _carry13_exact_out(s, 20)
+    return (e[19] >> 9) & jnp.uint32(1)
+
+
+def negmod13(yc: jnp.ndarray) -> jnp.ndarray:
+    """(-y) mod p, relaxed-21 out (p - y for canonical y)."""
+    return submod13(jnp.zeros_like(yc), yc)

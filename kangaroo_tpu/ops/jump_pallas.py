@@ -67,8 +67,7 @@ _PROBE = __import__("os").environ.get("KT_PROBE", "")
 # Radix-13 hot path (ops/field13.py): split-free multiplies and
 # exact-carry-free relaxed ops at 21 digit rows.  State, DP slots and
 # every external format stay radix-16; conversion happens in the
-# kernel prologue/epilogue.  Non-symmetric walks only (symmetry falls
-# back to the radix-16 kernel).
+# kernel prologue/epilogue.
 RADIX13 = __import__("os").environ.get("KT_RADIX13", "0") == "1"
 
 
@@ -188,15 +187,16 @@ def _jump_kernel13(
     opx_ref, opy_ref, od_ref, osc_ref,
     cnt_ref, dpx_ref, dpd_ref, step_ref,
     dpx13_ref,
-    *, nb_run: int, slots: int,
+    *, nb_run: int, symmetry: bool, slots: int,
 ):
-    """Radix-13 walk kernel (non-symmetric).
+    """Radix-13 walk kernel.
 
     Same walk semantics and outputs as _jump_kernel: the arithmetic
     runs on 21-row 13-bit digits (ops/field13.py), state converts at
     the window boundary, and canonical-x DP slots accumulate in a
     radix-13 VMEM scratch that the epilogue packs into the public
-    (slots*16, n) layout.
+    (slots*16, n) layout.  Symmetry mode canonicalizes y each step
+    for the class decision, exactly like the radix-16 path.
     """
     from . import field13 as f13
 
@@ -212,8 +212,13 @@ def _jump_kernel13(
     py13 = f13.unpack16(py_ref[:, :])      # relaxed 16-row, exact limbs
 
     def body(i, st):
-        px, py, d, count = st
-        jmp = px[0] & jnp.uint32(NB_JUMP - 1)
+        px, py, d, sc, count = st
+        if symmetry:
+            jmp = (px[0] & jnp.uint32(NB_JUMP // 2 - 1)) + (
+                sc * jnp.uint32(NB_JUMP // 2)
+            )
+        else:
+            jmp = px[0] & jnp.uint32(NB_JUMP - 1)
         q = _gather_onehot(jmp, jtbl)
         qx, qy, qd = q[:21], q[21:42], q[42:50]
         dx = f13.submod13(qx, px)
@@ -223,6 +228,14 @@ def _jump_kernel13(
         x3 = f13.sqrmod13(lam, sub=(px, qx), canonical=True)
         y3 = f13.mulmod13(lam, f13.submod13(qx, x3), sub=(qy,))
         d = field.add_u128(d, qd)
+        if symmetry:
+            # equivalence-class normalization (Kangaroo.cpp:422-428)
+            yc = f13.canonicalize13(y3)
+            high = f13.y_is_high13(yc)
+            sel = (high == 1)[None, :]
+            y3 = jnp.where(sel, f13.negmod13(yc), yc)
+            d = jnp.where(sel, field.neg_u128(d), d)
+            sc = sc ^ high
         hit = f13.is_dp13(x3, masks)
         for s in range(slots):
             sl = hit & (count == jnp.uint32(s))
@@ -236,17 +249,18 @@ def _jump_kernel13(
             step_ref[s:s + 1, :] = jnp.where(
                 slm, jnp.uint32(i), step_ref[s:s + 1, :]
             )
-        return x3, y3, d, count + hit.astype(jnp.uint32)
+        return x3, y3, d, sc, count + hit.astype(jnp.uint32)
 
-    px13, py13, d, count = jax.lax.fori_loop(
+    px13, py13, d, sc, count = jax.lax.fori_loop(
         0, nb_run, body,
-        (px13, py13, d_ref[:, :], jnp.zeros((n,), jnp.uint32)),
+        (px13, py13, d_ref[:, :], sc_ref[0, :],
+         jnp.zeros((n,), jnp.uint32)),
     )
 
     opx_ref[:, :] = f13.pack16(px13)       # canonical, exact
     opy_ref[:, :] = f13.pack16(f13.canonicalize13(py13))
     od_ref[:, :] = d
-    osc_ref[:, :] = sc_ref[:, :]
+    osc_ref[:, :] = sc[None, :]
     cnt_ref[:, :] = count[None, :]
     for s in range(slots):
         dpx_ref[16 * s:16 * (s + 1), :] = f13.pack16(
@@ -460,7 +474,7 @@ def jump_steps_with_dp(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
 
-    if RADIX13 and not symmetry:
+    if RADIX13:
         from . import field13 as f13
 
         jt13 = jnp.concatenate(
@@ -488,7 +502,8 @@ def jump_steps_with_dp(
             state_spec(16), state_spec(16), state_spec(8), state_spec(1),
         ]
         kernel = functools.partial(
-            _jump_kernel13, nb_run=nb_run, slots=slots
+            _jump_kernel13, nb_run=nb_run, symmetry=symmetry,
+            slots=slots,
         )
         kw = {}
         if not interpret:
@@ -508,13 +523,16 @@ def jump_steps_with_dp(
             interpret=interpret,
             **kw,
         )(jt13, m13, px, py, d, symclass[None, :])
-        return (
+        out = (
             opx, opy, od,
             cnt[0],
             dpx.reshape(slots, 16, n),
             dpd.reshape(slots, 8, n),
             dstep,
         )
+        if symmetry:
+            return out + (osc[0],)
+        return out
 
     out_shapes = (
         jax.ShapeDtypeStruct((16, n), jnp.uint32),         # px

@@ -228,3 +228,45 @@ def test_radix13_walk_lockstep():
         if name == "py":
             want = np.asarray(field.canonicalize(jnp.asarray(want)))
         np.testing.assert_array_equal(g, want, err_msg=name)
+
+
+def test_radix13_walk_lockstep_symmetry():
+    """KT_RADIX13 symmetry mode: class decisions, signed distances and
+    symclass flips match the XLA reference walk bit-for-bit."""
+    n = 128
+    nb_run = 12
+    jt = create_jump_table(48, symmetry=True)
+    jx, jy, jd = (jnp.asarray(x) for x in jt.as_arrays())
+    masks = jnp.asarray(jump_ref.dp_limb_masks(5))
+    rng = MT19937(777)
+    width_div2 = ((1 << 48) - 1) >> 1
+    key = curve.mul(0xABCDEF)
+    px, py, d = herd_mod.create_herd(
+        n, 48, width_div2, key, 0, rng, symmetry=True
+    )
+    px, py, d = jnp.asarray(px), jnp.asarray(py), jnp.asarray(d)
+    base = [
+        np.asarray(x) for x in jump_ref.jump_steps_with_dp(
+            px, py, d, jx, jy, jd, masks, nb_run=nb_run, inv_stop=32,
+            symmetry=True,
+        )
+    ]
+    saved = jump_pallas.RADIX13
+    jump_pallas.RADIX13 = True
+    jax.clear_caches()
+    try:
+        got = [
+            np.asarray(x) for x in jump_pallas.jump_steps_with_dp(
+                px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=n,
+                interpret=True, symmetry=True,
+            )
+        ]
+    finally:
+        jump_pallas.RADIX13 = saved
+        jax.clear_caches()
+    names = ["px", "py", "d", "count", "dpx", "dpd", "dp_step",
+             "symclass"]
+    for name, want, g in zip(names, base, got):
+        if name == "py":
+            want = np.asarray(field.canonicalize(jnp.asarray(want)))
+        np.testing.assert_array_equal(g, want, err_msg=name)
