@@ -122,6 +122,16 @@ def _probe_extra(px, py, qx=None, qy=None):
         return field._carry_exact(py, 16)
     if _PROBE == "sub":
         return field.submod(py, px)
+    if _PROBE == "mul13":
+        # one dependent radix-13 mulmod incl. the 16<->13 conversions
+        # (upper bound on its in-kernel cost; compare vs KT_PROBE=mul)
+        from . import field13 as f13
+        r = f13.mulmod13(f13.unpack16(py), f13.unpack16(px))
+        return f13.pack16(f13.canonicalize13(r))
+    if _PROBE == "sub13":
+        from . import field13 as f13
+        r = f13.submod13(f13.unpack16(py), f13.unpack16(px))
+        return f13.pack16(f13.canonicalize13(r))
     return py
 
 
