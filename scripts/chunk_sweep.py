@@ -82,9 +82,11 @@ def main() -> None:
             # (divstep per-lane cost dropped ~40%): retry wider stops
             (0, 0, 0, 0, 0, 0, 1, 256), (0, 0, 0, 0, 0, 0, 2, 256),
             (0, 0, 0, 0, 0, 0, 1, 64),
-            # radix-13 hot path (split-free, exact-carry-free tree)
+            # radix-13 hot path (split-free, exact-carry-free tree);
+            # also at half block in case the 21-row working set spills
             (0, 0, 0, 0, 0, 0, 0, 0, 1),
             (0, 0, 0, 0, 0, 0, 1, 0, 1),
+            (0, 0, 2048, 0, 0, 0, 0, 0, 1),
         ]
 
     interp = not on_tpu  # CPU smoke-testing only
