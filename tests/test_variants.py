@@ -187,14 +187,15 @@ def test_variant_walk_lockstep_symmetry():
         np.testing.assert_array_equal(g, want, err_msg=name)
 
 
-def test_radix13_walk_lockstep():
+@pytest.mark.parametrize("dp_size", [6, 2], ids=["dp6", "dp2-overflow"])
+def test_radix13_walk_lockstep(dp_size):
     """KT_RADIX13 kernel vs the default XLA walk: identical canonical
     x, distances, DP slots; y compared canonically (the radix-13
     kernel emits canonical y, the reference path a relaxed
-    representative of the same class)."""
+    representative of the same class).  dp 2 forces the slot-overflow
+    path (hits beyond the capture slots are counted and dropped)."""
     n = 256
     nb_run = 16
-    dp_size = 6
     jt = create_jump_table(64)
     jx, jy, jd = (jnp.asarray(x) for x in jt.as_arrays())
     masks = jnp.asarray(jump_ref.dp_limb_masks(dp_size))
@@ -210,6 +211,8 @@ def test_radix13_walk_lockstep():
         )
     ]
     assert base[3].sum() > 0
+    if dp_size == 2:
+        assert base[3].max() > 2  # slot overflow exercised
     saved = jump_pallas.RADIX13
     jump_pallas.RADIX13 = True
     jax.clear_caches()
