@@ -161,3 +161,29 @@ def test_field13_batch_inv_volume():
             1 for v, x in zip(r, vals) if v % P != pow(x, -1, P)
         )
     assert bad == 0
+
+
+def test_masks13_conversion_all_dp():
+    """_masks13_from16 agrees with dp_digit_masks13 for every dp size,
+    and the DP decision matches the 16-bit test on random points."""
+    from kangaroo_tpu.ops import jump_ref
+    from kangaroo_tpu.ops.jump_pallas import _masks13_from16
+
+    rng = np.random.RandomState(3)
+    pts_int = [int.from_bytes(rng.bytes(32), "little") % (1 << 256)
+               for _ in range(64)]
+    # force some DPs at every size by zeroing top bits of a few points
+    pts_int[:8] = [v & ((1 << 192) - 1) for v in pts_int[:8]]
+    from kangaroo_tpu.utils.intutils import ints_to_limbs
+
+    pts16 = jnp.asarray(ints_to_limbs(pts_int))
+    pts13 = to13(pts_int)
+    for dp in (1, 2, 7, 13, 16, 20, 26, 33, 40, 52, 63, 64):
+        m16 = jnp.asarray(jump_ref.dp_limb_masks(dp))
+        m13_a = np.asarray(_masks13_from16(m16))[:, 0]
+        m13_b = f13.dp_digit_masks13(dp)
+        np.testing.assert_array_equal(m13_a, m13_b, err_msg=f"dp={dp}")
+        want = np.asarray(jump_ref.is_dp(pts16, m16))
+        got = np.asarray(f13.is_dp13(pts13, jnp.asarray(m13_b)[:, None]))
+        np.testing.assert_array_equal(got, want, err_msg=f"dp={dp}")
+        assert want[:8].all()
