@@ -121,15 +121,37 @@ def create_herd(
     the returned distances are signed two's-complement (see
     device_distance) and symClass starts at 0 by the normalization.
     """
-    from ..ops import ec  # deferred: jax import cost
-
     d_modn = draw_start_distances(
         nb, range_power, width_div2, first_type, rng, symmetry=symmetry
     )
+    types = np.array([(j + first_type) % 2 for j in range(nb)], dtype=np.uint32)
+    return herd_from_distances(
+        d_modn, types, width_div2, key_point, symmetry=symmetry
+    )
+
+
+def herd_from_distances(
+    d_modn: List[int],
+    types: np.ndarray,
+    width_div2: int,
+    key_point: Optional[curve.PointA],
+    symmetry: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Starting state arrays from explicit mod-n distances and types.
+
+    The batched core of create_herd; also used to rebuild dead
+    kangaroos in ONE device dispatch per tick instead of one per lane
+    (the reference resets are CreateHerd(1) calls, Kangaroo.cpp:467-471
+    -- the draw order is preserved by the caller drawing d_modn
+    sequentially).
+    """
+    from ..ops import ec  # deferred: jax import cost
+
+    nb = len(d_modn)
     ks = jnp.asarray(ints_to_limbs(d_modn))
     sx, sy, s_zero = ec.scalar_mult_base_batch(ks)
 
-    types = np.array([(j + first_type) % 2 for j in range(nb)], dtype=np.uint32)
+    types = np.asarray(types, dtype=np.uint32)
     wild_mask = jnp.asarray(types == WILD)
     if key_point is not None and key_point.is_zero:
         # keyToSearch is the identity (the key IS rangeStart*G): wild

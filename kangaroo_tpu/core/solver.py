@@ -852,15 +852,32 @@ class KangarooSolver:
         return val
 
     def _reset_lanes(self, px, py, d, resets, rng):
-        """Dead kangaroo: draw a fresh one (reference: Kangaroo.cpp:467-471)."""
+        """Dead kangaroos: draw fresh ones (reference: Kangaroo.cpp:467-471).
+
+        Distances are drawn per reset in order (RNG-stream-identical to
+        the reference's per-lane CreateHerd(1) calls), but the position
+        rebuild and the state update are batched: ONE scalar-mult
+        dispatch and ONE scatter per array instead of a full-array
+        update per dead kangaroo (which serialized against the
+        pipelined ticks at high dead rates).
+        """
+        sym = self.opts.symmetry
+        dists, types, lanes = [], [], []
         for lane, ktype in resets:
-            npx, npy, nd = herd_mod.create_herd(
-                1, self.range_power, self.width_div2, self.key_to_search,
-                ktype, rng, symmetry=self.opts.symmetry,
-            )
-            px = px.at[:, lane].set(jnp.asarray(npx[:, 0]))
-            py = py.at[:, lane].set(jnp.asarray(npy[:, 0]))
-            d = d.at[:, lane].set(jnp.asarray(nd[:, 0]))
+            dists.append(herd_mod.draw_start_distances(
+                1, self.range_power, self.width_div2, ktype, rng,
+                symmetry=sym,
+            )[0])
+            types.append(ktype)
+            lanes.append(lane)
+        npx, npy, nd = herd_mod.herd_from_distances(
+            dists, np.array(types, dtype=np.uint32), self.width_div2,
+            self.key_to_search, symmetry=sym,
+        )
+        lanes_a = jnp.asarray(np.array(lanes, dtype=np.int32))
+        px = px.at[:, lanes_a].set(jnp.asarray(npx))
+        py = py.at[:, lanes_a].set(jnp.asarray(npy))
+        d = d.at[:, lanes_a].set(jnp.asarray(nd))
         return px, py, d
 
     def _output(self, res):

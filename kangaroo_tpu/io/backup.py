@@ -202,34 +202,22 @@ def save_work(
     overrides solver.hash_table (background saves snapshot the table
     reference at save-request time).
     """
-    from ..utils.intutils import limbs_to_ints_fast
-
     sym = bool(getattr(solver.opts, "symmetry", False))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         write_header(f, HEADW, solver, total_count, total_time, symmetry=sym)
         write_hash_table(f, table if table is not None else solver.hash_table)
         if save_kangaroo and px is not None:
+            from ..utils.packing import pack_kangaroos
+
             n = px.shape[1]
             _w_u64(f, n)
-            xs = limbs_to_ints_fast(px)
-            ys = limbs_to_ints_fast(py)
-            ds = limbs_to_ints_fast(d)
-            from ..core.herd import true_distance
-
-            from ..constants import P
-
-            for i in range(n):
-                _w_int(f, int(xs[i]), 32)
-                # y is carried on-device in relaxed form (< 2^256);
-                # canonicalize so stored points are reference-exact
-                _w_int(f, int(ys[i]) % P, 32)
-                _w_int(
-                    f,
-                    true_distance(int(ds[i]), i % 2, solver.width_div2,
-                                  symmetry=sym),
-                    32,
-                )
+            # vectorized 96-byte records (x | canonical y | mod-n dist);
+            # the former per-kangaroo int loop cost minutes at 2^19 lanes
+            f.write(pack_kangaroos(
+                np.asarray(px), np.asarray(py), np.asarray(d),
+                solver.width_div2, sym,
+            ))
         else:
             _w_u64(f, 0)
     os.replace(tmp, path)
@@ -263,7 +251,7 @@ def read_header(f, expect: Optional[int] = None) -> Tuple[int, int]:
 
 def load_work(path: str, load_kangaroos: bool = True) -> LoadedWork:
     """Load a HEADW work file (reference: LoadWork, Backup.cpp:149-207)."""
-    from ..utils.intutils import ints_to_limbs
+    from ..utils.intutils import limbs_to_ints_fast
 
     with open(path, "rb") as f:
         _, version = read_header(f, HEADW)
@@ -286,24 +274,14 @@ def load_work(path: str, load_kangaroos: bool = True) -> LoadedWork:
         kang = None
         dists = None
         if nb and load_kangaroos:
-            xs, ys, ds = [], [], []
-            for _ in range(nb):
-                xs.append(_r_int(f, 32))
-                ys.append(_r_int(f, 32))
-                ds.append(_r_int(f, 32))
-            width_div2 = (range_end - range_start) >> 1
-            from ..core.herd import device_distance
+            from ..utils.packing import unpack_kangaroos
 
-            ddev = [
-                device_distance(dm, i % 2, width_div2, symmetry=sym)
-                for i, dm in enumerate(ds)
-            ]
-            kang = (
-                ints_to_limbs(xs, 16),
-                ints_to_limbs(ys, 16),
-                ints_to_limbs(ddev, 8),
+            width_div2 = (range_end - range_start) >> 1
+            px_l, py_l, d_l, dmod = unpack_kangaroos(
+                f.read(96 * nb), width_div2, sym
             )
-            dists = ds
+            kang = (px_l, py_l, d_l)
+            dists = list(limbs_to_ints_fast(dmod))
     return LoadedWork(
         dp, range_start, range_end, key, count, ttime, ht, nb, kang, dists,
         symmetry=sym,
@@ -315,9 +293,6 @@ def save_kangaroo_file(
     compressed: bool = False,
 ):
     """HEADK / HEADKS kangaroo-only files (client side -w / -wss)."""
-    from ..core.herd import true_distance
-    from ..utils.intutils import limbs_to_ints_fast
-
     sym = bool(getattr(solver.opts, "symmetry", False))
     n = px.shape[1]
     tmp = path + ".tmp"
@@ -325,22 +300,26 @@ def save_kangaroo_file(
         write_header(f, HEADKS if compressed else HEADK, None,
                      total_count, total_time, symmetry=sym)
         _w_u64(f, n)
-        xs = limbs_to_ints_fast(px)
-        ys = limbs_to_ints_fast(py)
-        ds = limbs_to_ints_fast(d)
-        for i in range(n):
-            dist = true_distance(int(ds[i]), i % 2, solver.width_div2,
-                                 symmetry=sym)
-            if compressed:
-                # 16-byte D encoding, type from kangaroo parity
-                _, _, d128 = convert(0, dist, i % 2)
-                _w_int(f, d128, 16)
-            else:
-                from ..constants import P
+        if compressed:
+            # 16-byte D encoding, type from kangaroo parity; vectorized
+            # analog of convert(0, dist, i % 2) per item
+            from ..utils.packing import (
+                limbs_to_le_bytes,
+                pack_d128,
+                true_dist_limbs,
+            )
 
-                _w_int(f, int(xs[i]), 32)
-                _w_int(f, int(ys[i]) % P, 32)  # relaxed y -> canonical
-                _w_int(f, dist, 32)
+            types = np.arange(n, dtype=np.int64) & 1
+            dm = true_dist_limbs(np.asarray(d), types, solver.width_div2,
+                                 sym)
+            f.write(limbs_to_le_bytes(pack_d128(dm, types)).tobytes())
+        else:
+            from ..utils.packing import pack_kangaroos
+
+            f.write(pack_kangaroos(
+                np.asarray(px), np.asarray(py), np.asarray(d),
+                solver.width_div2, sym,
+            ))
     os.replace(tmp, path)
 
 
@@ -359,11 +338,6 @@ def load_kangaroo_file(
     fetch (FetchWalks, Backup.cpp:233-289: rebuild = dist*G, plus
     keyToSearch for wild parity).
     """
-    import numpy as np
-
-    from ..core.herd import device_distance
-    from ..utils.intutils import ints_to_limbs
-
     with open(path, "rb") as f:
         head, version = read_header(f)
         if head not in (HEADK, HEADKS):
@@ -378,20 +352,12 @@ def load_kangaroo_file(
         nb = _r_u64(f)
         width_div2 = (range_end - range_start) >> 1
         if head == HEADK:
-            xs, ys, ds = [], [], []
-            for i in range(nb):
-                xs.append(_r_int(f, 32))
-                ys.append(_r_int(f, 32))
-                ds.append(_r_int(f, 32))
-            ddev = [
-                device_distance(dm, i % 2, width_div2, symmetry=sym)
-                for i, dm in enumerate(ds)
-            ]
-            return (
-                ints_to_limbs(xs, 16),
-                ints_to_limbs(ys, 16),
-                ints_to_limbs(ddev, 8),
+            from ..utils.packing import unpack_kangaroos
+
+            px_l, py_l, d_l, _ = unpack_kangaroos(
+                f.read(96 * nb), width_div2, sym
             )
+            return px_l, py_l, d_l
         # HEADKS: rebuild positions from D-encoded distances
         d128s = [_r_int(f, 16) for _ in range(nb)]
     return rebuild_from_d128(d128s, range_start, range_end, key_to_search,

@@ -171,6 +171,44 @@ class EndOfSearch(Exception):
     pass
 
 
+# -- pending-DP persistence ------------------------------------------------
+# The reference's crash answer is duplicate-resend from the kangaroo
+# backup (README.md:232: a restarted client re-walks and re-sends, the
+# duplicates count as dead kangaroos).  We additionally persist DPs
+# that were CAPTURED but never acknowledged by the server, so a client
+# restart re-sends them verbatim: duplicates are cheap, losses cost
+# expected ops.  Sidecar format: u32 magic, u32 count, count*40B DP.
+
+_PENDING_MAGIC = 0xFA6A9001
+
+
+def pending_dp_path(work_file: str) -> str:
+    return work_file + ".penddp"
+
+
+def save_pending_dps(path: str, records: List[proto.DPRecord]) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(struct.pack("<II", _PENDING_MAGIC, len(records)))
+        for r in records:
+            f.write(r.pack())
+    os.replace(tmp, path)
+
+
+def load_pending_dps(path: str) -> List[proto.DPRecord]:
+    if not os.path.exists(path):
+        return []
+    with open(path, "rb") as f:
+        magic, nb = struct.unpack("<II", f.read(8))
+        if magic != _PENDING_MAGIC:
+            raise ValueError(f"{path}: not a pending-DP file")
+        data = f.read(proto.DP_SIZE * nb)
+    return [
+        proto.DPRecord.unpack(data[proto.DP_SIZE * i:proto.DP_SIZE * (i + 1)])
+        for i in range(nb)
+    ]
+
+
 def run_client(
     server_ip: str,
     port: int,
@@ -240,6 +278,17 @@ def run_client(
 
     use_hook = bool(opts.work_file)
     pending: List[proto.DPRecord] = []
+    pend_path = pending_dp_path(opts.work_file) if opts.work_file else None
+    if pend_path:
+        try:
+            restored_dps = load_pending_dps(pend_path)
+        except (OSError, ValueError):
+            restored_dps = []
+        if restored_dps:
+            pending.extend(restored_dps)
+            if not quiet:
+                print(f"Re-sending {len(restored_dps)} pending DPs "
+                      f"from {pend_path}")
     last_send = [time.time()]
 
     def dp_sink(batch) -> bool:
@@ -262,16 +311,44 @@ def run_client(
                         return True
         return False
 
+    ended = False
     try:
         solver.solve(
             0, dp_sink=dp_sink, max_ticks=max_ticks,
             save_hook=save_hook if use_hook else None,
         )
-        # flush the tail
-        if pending:
+        # flush the tail, reconnecting like the steady-state sender
+        for _ in range(3):
+            if not pending:
+                break
             try:
-                conn.send_dps(list(pending))
+                status = conn.send_dps(list(pending))
+                pending.clear()
+                ended = status == proto.SERVER_END
             except (OSError, proto.ProtocolError):
-                pass
+                conn.close()
+                try:
+                    conn.wait_for_server()
+                except EndOfSearch:
+                    ended = True
+                    break
+                except (OSError, proto.ProtocolError):
+                    pass
     finally:
+        # unacknowledged DPs survive crashes/aborts on disk; a restart
+        # re-sends them (duplicates are cheap, losses are not)
+        if pend_path:
+            if pending and not ended:
+                try:
+                    save_pending_dps(pend_path, pending)
+                    if not quiet:
+                        print(f"Saved {len(pending)} unsent DPs to "
+                              f"{pend_path}")
+                except OSError:
+                    pass
+            elif os.path.exists(pend_path):
+                try:
+                    os.remove(pend_path)
+                except OSError:
+                    pass
         conn.close()

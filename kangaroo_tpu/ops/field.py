@@ -407,6 +407,65 @@ def mul_columns_outer(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return cur.reshape(32, w)
 
 
+# Route the schoolbook column build through the MXU (KT_MXU=1): the
+# partial products are formed as one (2Ra, 2Rb, W) byte-level f32
+# broadcast multiply on the VPU (8x8-bit products < 2^16, exact in
+# f32), and the ENTIRE shifted-add tree -- the serial half of
+# mul_columns -- becomes one constant 0/1 placement matmul on the MXU,
+# which sits idle in this kernel otherwise.  Column sums are <= 34
+# products * 2^16 < 2^22, exact in f32 accumulation.  Even at equal
+# standalone op cost this can win: the matmul retires on the MXU
+# pipeline concurrently with the VPU's next operations.
+MXU_MUL = __import__("os").environ.get("KT_MXU", "0") == "1"
+
+
+def mul_columns_mxu(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Schoolbook columns via byte products + one MXU placement matmul.
+
+    a: (Ra, W), b: (Rb, W) 16-bit limbs (Ra/Rb in {16, 17}).  Returns
+    (Ra+Rb, W) relaxed columns (< 2^17), same contract as mul_columns.
+    """
+    ra, rb = a.shape[0], b.shape[0]
+    w = a.shape[1]
+    range_a, range_b = 2 * ra, 2 * rb
+    # byte rows, low byte first within each limb
+    ab = jnp.concatenate([a & jnp.uint32(0xFF), a >> 8], axis=0)
+    bb = jnp.concatenate([b & jnp.uint32(0xFF), b >> 8], axis=0)
+    # row r of ab has byte significance: r < ra -> 2r, else 2(r-ra)+1
+    af = ab.astype(jnp.int32).astype(jnp.float32)
+    bf = bb.astype(jnp.int32).astype(jnp.float32)
+    prod = af.reshape(range_a, 1, w) * bf.reshape(1, range_b, w)
+    prod2 = prod.reshape(range_a * range_b, w)   # f32, exact (< 2^16)
+
+    out_rows = ra + rb
+    # placement: product m = (r_a, r_b) lands at byte position
+    # sig(r_a) + sig(r_b); rows 0..out_rows-1 of P collect the EVEN
+    # byte positions 2t, rows out_rows.. collect the ODD positions
+    # 2t+1 (so the 16-bit recombination needs no strided slicing).
+    m = jax.lax.broadcasted_iota(jnp.int32, (2 * out_rows, range_a * range_b), 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, (2 * out_rows, range_a * range_b), 0)
+    r_a = m // range_b
+    r_b = m % range_b
+    sig_a = jnp.where(r_a < ra, 2 * r_a, 2 * (r_a - ra) + 1)
+    sig_b = jnp.where(r_b < rb, 2 * r_b, 2 * (r_b - rb) + 1)
+    pos = sig_a + sig_b                      # byte position, 0..2*out_rows-2
+    want = jnp.where(k < out_rows, 2 * k, 2 * (k - out_rows) + 1)
+    placement = (pos == want).astype(jnp.float32)
+    # HIGHEST precision: the default TPU matmul downcasts f32 operands
+    # to bf16, which would truncate the 16-bit products; the multi-pass
+    # f32 algorithm keeps every product (< 2^16) and sum (< 2^22) exact
+    cols = jax.lax.dot_general(
+        placement, prod2,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                        # (2*out_rows, W), < 2^22
+    ci = cols.astype(jnp.int32).astype(jnp.uint32)
+    v = ci[:out_rows] + (ci[out_rows:] << 8)  # 16-bit columns, < 2^30
+    # one relaxed pass restores the < 2^22 reduce_512 entry contract
+    return _carry1(v, out_rows)
+
+
 def sqr_columns(a: jnp.ndarray) -> jnp.ndarray:
     """Squaring columns via the symmetric (triangular) shortcut.
 
@@ -607,7 +666,9 @@ def mulmod(a: jnp.ndarray, b: jnp.ndarray,
 
 
 def _mulmod1(a, b, sub, relaxed_out):
-    if (
+    if MXU_MUL:
+        cols = mul_columns_mxu(a, b)
+    elif (
         a.shape[0] == 16
         and b.shape[0] == 16
         and a.shape[1] <= OUTER_THRESH
@@ -621,14 +682,21 @@ def _mulmod1(a, b, sub, relaxed_out):
 def sqrmod(a: jnp.ndarray, sub: Sequence[jnp.ndarray] = (),
            relaxed_out: bool = False) -> jnp.ndarray:
     """(a^2 - sum(sub)) mod p, relaxed."""
+    # MXU path: the full product array IS the square (every (i, j) pair
+    # counted once); the 2S-D triangular shortcut only pays on the VPU
+    col_fn = mul_columns_mxu if MXU_MUL else None
     if MUL_CHUNK and a.shape[1] > MUL_CHUNK:
         return _lane_chunks(
             MUL_CHUNK,
             lambda aa, *ss: reduce_512(
-                sqr_columns(aa), sub=ss, relaxed_out=relaxed_out
+                col_fn(aa, aa) if col_fn else sqr_columns(aa),
+                sub=ss, relaxed_out=relaxed_out,
             ),
         )(a, *sub)
-    return reduce_512(sqr_columns(a), sub=sub, relaxed_out=relaxed_out)
+    return reduce_512(
+        col_fn(a, a) if col_fn else sqr_columns(a),
+        sub=sub, relaxed_out=relaxed_out,
+    )
 
 
 # ----------------------------------------------------------------------

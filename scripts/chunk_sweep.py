@@ -53,10 +53,10 @@ def main() -> None:
     variants = []
     for spec in sys.argv[1:]:
         parts = [int(v) for v in spec.split(":")]
-        while len(parts) < 9:
+        while len(parts) < 10:
             parts.append(0)
         # (mulw, walkw, block, full, toprow, outer, dspack, invstop,
-        # radix13); 0 = default
+        # radix13, mxu); 0 = default
         variants.append(tuple(parts))
     if not variants:
         variants = [
@@ -91,9 +91,9 @@ def main() -> None:
 
     interp = not on_tpu  # CPU smoke-testing only
     stop0 = jump_pallas.INV_STOP
-    variants = [v + (0,) * (9 - len(v)) for v in variants]
+    variants = [v + (0,) * (10 - len(v)) for v in variants]
     for (mulw, walkw, vblk, full, toprow, outer, dspack, invstop,
-         radix13) in variants:
+         radix13, mxu) in variants:
         blk = min(vblk or jump_pallas.DEFAULT_BLOCK, n)
         field.MUL_CHUNK = mulw
         jump_pallas.WALKW = walkw
@@ -103,6 +103,7 @@ def main() -> None:
         field.DSPACK = dspack
         jump_pallas.INV_STOP = invstop or stop0
         jump_pallas.RADIX13 = bool(radix13)
+        field.MXU_MUL = bool(mxu)
         jax.clear_caches()
         try:
             out = jump_pallas.jump_steps_with_dp(
@@ -123,12 +124,12 @@ def main() -> None:
             print(f"mulw={mulw} walkw={walkw} blk={blk} full={full} "
                   f"toprow={toprow} outer={outer} dspack={dspack} "
                   f"invstop={invstop or stop0} radix13={radix13} "
-                  f"value={rate:.1f} MK/s", flush=True)
+                  f"mxu={mxu} value={rate:.1f} MK/s", flush=True)
         except Exception as e:  # keep sweeping on a failed variant
             print(f"mulw={mulw} walkw={walkw} blk={blk} full={full} "
                   f"toprow={toprow} outer={outer} dspack={dspack} "
                   f"invstop={invstop or stop0} radix13={radix13} "
-                  f"FAILED: {e!r}", flush=True)
+                  f"mxu={mxu} FAILED: {e!r}", flush=True)
 
 
 if __name__ == "__main__":
