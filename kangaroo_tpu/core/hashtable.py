@@ -254,12 +254,20 @@ class NativeHashTable:
     def bucket_sorted(self, h: int):
         return [(x, d) for hh, x, d in self.iter_sorted() if hh == h]
 
+    #: records per absorb batch: bounds the transient packing buffer to
+    #: ~9 MB (a 10^7-DP resume used to build one ~360 MB bytes object)
+    ABSORB_CHUNK = 1 << 18
+
     def absorb(self, ht: "HashTable") -> None:
         """Bulk-load the contents of a Python-dict table (resume)."""
-        recs = b"".join(
-            self.pack_record(h, x, d) for h, x, d in ht.iter_sorted()
-        )
-        self.add_batch_raw(recs, ht.n_items())
+        buf: list = []
+        for rec in ht.iter_sorted():
+            buf.append(self.pack_record(*rec))
+            if len(buf) >= self.ABSORB_CHUNK:
+                self.add_batch_raw(b"".join(buf), len(buf))
+                buf.clear()
+        if buf:
+            self.add_batch_raw(b"".join(buf), len(buf))
 
     def stats(self):
         import ctypes

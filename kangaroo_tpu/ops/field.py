@@ -198,12 +198,14 @@ def _embed_c(top: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-# 16-row + carry-out restructure of the reduce tail (KT_TOPROW=1):
+# 16-row + carry-out restructure of the reduce tail (KT_TOPROW):
 # sublane tiles quantize row counts to 8, so every (17, N) op costs 3
 # tiles where a (16, N) op costs 2; carrying the overflow digit as an
 # (N,) scalar via _carry_exact_out keeps the whole tail at 2 tiles.
-# Bit-identical by construction; gated until measured on hardware.
-TOPROW = __import__("os").environ.get("KT_TOPROW", "0") == "1"
+# Bit-identical by construction.  DEFAULT ON: measured +2-3% alone and
+# +2.3% on top of the chunked-walk winners (v5e sweep, 2026-08-19,
+# hw_evidence/sweep_r03.txt).
+TOPROW = __import__("os").environ.get("KT_TOPROW", "1") == "1"
 
 
 def _fold_small_arr(x16: jnp.ndarray, top: jnp.ndarray) -> jnp.ndarray:
@@ -631,11 +633,13 @@ def canonicalize(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # Lane-chunk width for wide multiplies inside the Pallas kernel.  A
-# wide (e.g. 4096-lane) mulmod materializes every intermediate at full
+# wide (e.g. 32768-lane) mulmod materializes every intermediate at full
 # width; computed in W-lane chunks the chunk intermediates stay
-# VMEM/register resident, which the KT_PROBE deltas measured ~23%
-# cheaper per mulmod at W=512 (including the output concat).  0 = off.
-MUL_CHUNK = int(__import__("os").environ.get("KT_MULW", "0"))
+# VMEM/register resident.  DEFAULT 128: the dominant single win of the
+# v5e sweep (89.8 -> 111 MK/s alone at the old 4096 block; at the
+# 32768-block winner 128 beat 256/512 by 1-4% -- hw_evidence/
+# sweep_r03.txt).
+MUL_CHUNK = int(__import__("os").environ.get("KT_MULW", "128"))
 
 
 def _lane_chunks(w: int, fn):

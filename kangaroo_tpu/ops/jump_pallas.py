@@ -35,9 +35,14 @@ from . import field
 from . import jump_ref as jump_ref_mod
 from .jump_ref import is_dp
 
-# Lanes per kernel block.  VMEM budget: state + temporaries + DP slots
-# come to ~1.3 KB/lane, so 4096 lanes ~ 5.5 MB.
-DEFAULT_BLOCK = int(__import__("os").environ.get("KT_BLOCK", "4096"))
+# Lanes per kernel block.  State + DP slots are ~260 B/lane and the
+# chunked mul/walk paths (MUL_CHUNK/WALKW) keep temporaries at chunk
+# width, so big blocks fit VMEM easily and amortize the per-grid-step
+# fixed costs (slot init, pipeline bubbles).  DEFAULT 32768: the v5e
+# sweep scaled 4096 -> 8192 -> 16384 -> 32768 = 111 -> 126 -> 137 ->
+# 151 MK/s (hw_evidence/sweep_r03.txt); 65536 with 128 unrolled walk
+# chunks blew up Mosaic compile time.
+DEFAULT_BLOCK = int(__import__("os").environ.get("KT_BLOCK", "32768"))
 # Fold the inversion tree down to this many lanes before divstep.
 INV_STOP = int(__import__("os").environ.get("KT_INVSTOP", "128"))
 # Independent sub-herd pipelines per block.  The 128-lane divstep is a
@@ -53,7 +58,9 @@ SPLITS = int(__import__("os").environ.get("KT_SPLITS", "1"))
 # in W-lane chunks keeps each chunk's intermediates VMEM-resident with
 # ONE concat per carried array instead of one per mulmod.  Composes
 # with field.MUL_CHUNK (which chunks the inversion tree's wide muls).
-WALKW = int(__import__("os").environ.get("KT_WALKW", "0"))
+# DEFAULT 512: +2-3% on top of MUL_CHUNK at every block size measured
+# (hw_evidence/sweep_r03.txt).
+WALKW = int(__import__("os").environ.get("KT_WALKW", "512"))
 # With KT_WALKFULL=1 the chunk loop also covers the distance add,
 # symmetry normalization, DP capture and count update -- everything
 # after the shared inversion runs at chunk width, leaving only the

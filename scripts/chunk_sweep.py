@@ -59,36 +59,18 @@ def main() -> None:
         # radix13, mxu); 0 = default
         variants.append(tuple(parts))
     if not variants:
+        # confirmation set around the round-3 defaults (mulw=128,
+        # walkw=512, blk=32768, toprow=1); see hw_evidence/sweep_r03.txt
         variants = [
-            (0, 0, 0, 0, 0, 0, 0, 0),
-            # packed divstep first: largest predicted single win
-            (0, 0, 0, 0, 0, 0, 1, 0), (0, 0, 0, 0, 0, 0, 2, 0),
-            (512, 0, 0, 0, 0, 0, 0, 0), (256, 0, 0, 0, 0, 0, 0, 0),
-            (1024, 0, 0, 0, 0, 0, 0, 0),
-            (0, 512, 0, 0, 0, 0, 0, 0), (0, 1024, 0, 0, 0, 0, 0, 0),
-            (0, 512, 0, 1, 0, 0, 0, 0), (0, 1024, 0, 1, 0, 0, 0, 0),
-            (0, 0, 0, 0, 1, 0, 0, 0), (0, 512, 0, 1, 1, 0, 0, 0),
-            (512, 512, 0, 1, 1, 0, 0, 0), (256, 512, 0, 1, 1, 0, 0, 0),
-            # OUTER: short-dependency-chain column builder for the
-            # latency-bound narrow fold-tree levels (<= thresh lanes)
-            (0, 0, 0, 0, 0, 512, 0, 0), (0, 0, 0, 0, 1, 512, 0, 0),
-            (0, 512, 0, 1, 1, 512, 0, 0), (0, 0, 0, 0, 0, 128, 0, 0),
-            # deeper fold: extra tree levels are narrow (~free),
-            # divstep narrower (512 was +43% WORSE; try the other way)
-            (0, 0, 0, 0, 0, 0, 0, 64), (0, 0, 0, 0, 0, 0, 0, 32),
-            # best-guess combined
-            (0, 512, 0, 1, 1, 0, 1, 0), (0, 512, 0, 1, 1, 512, 1, 0),
-            # packed divstep may shift the optimal fold stop upward
-            # (divstep per-lane cost dropped ~40%): retry wider stops
-            (0, 0, 0, 0, 0, 0, 1, 256), (0, 0, 0, 0, 0, 0, 2, 256),
-            (0, 0, 0, 0, 0, 0, 1, 64),
-            # radix-13 hot path (split-free, exact-carry-free tree);
-            # also at half block in case the 21-row working set spills
-            (0, 0, 0, 0, 0, 0, 0, 0, 1),
-            (0, 0, 0, 0, 0, 0, 1, 0, 1),
-            (0, 0, 2048, 0, 0, 0, 0, 0, 1),
+            (0, 0, 0, 0, 1, 0, 0, 0, 0, 0),       # the defaults
+            (256, 0, 0, 0, 1, 0, 0, 0, 0, 0),
+            (0, 256, 0, 0, 1, 0, 0, 0, 0, 0),
+            (0, 0, 16384, 0, 1, 0, 0, 0, 0, 0),
+            (0, 0, 8192, 0, 1, 0, 0, 0, 0, 0),
+            (0, 0, 0, 0, 0, 0, 0, 0, 0, 0),       # toprow off
+            (0, 0, 0, 0, 1, 0, 0, 256, 0, 0),     # deeper fold stop
+            (0, 0, 0, 0, 1, 0, 0, 0, 1, 0),       # radix13 at defaults
         ]
-
     interp = not on_tpu  # CPU smoke-testing only
     stop0 = jump_pallas.INV_STOP
     variants = [v + (0,) * (10 - len(v)) for v in variants]
