@@ -41,6 +41,9 @@ def _probe_platform(timeout_s: float = 180.0):
 
 
 def main() -> None:
+    from kangaroo_tpu.cli import enable_compile_cache
+
+    enable_compile_cache()
     platform, err = _probe_platform()
     if platform is None:
         import os

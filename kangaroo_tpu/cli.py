@@ -86,8 +86,35 @@ def format_status(solver, elapsed: float, rate: float, dead: int) -> str:
     return f"[{avg}][Count {cnt}][Dead {dead}][{elapsed:.0f}s]{expected_t}"
 
 
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (unless the user set one).
+
+    The fused jump kernel at production block sizes takes minutes to
+    compile through the TPU compile service; the cache makes that a
+    first-run-only cost per (block, nb_run, dp-window) configuration.
+    """
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    path = os.path.join(
+        os.path.expanduser("~"), ".cache", "kangaroo_tpu", "xla_cache"
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never fail startup on it
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    enable_compile_cache()
 
     dp = -1
     symmetry = False
