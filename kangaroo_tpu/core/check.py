@@ -352,80 +352,66 @@ def pallas_lockstep_check(
     masks = jnp.asarray(jump_ref.dp_limb_masks(dp_size))
 
     ok = True
-    saved_r13 = jump_pallas.RADIX13
-    radices = (False, True) if not saved_r13 else (True,)
-    for radix13 in radices:
-        for symmetry in (False, True):
-            jx, jy, jd = (
-                jnp.asarray(a)
-                for a in ((jxs, jys, jds) if symmetry else (jxp, jyp, jdp))
-            )
-            sc = jnp.zeros((n,), dtype=jnp.uint32)
-            # identical inv_stop so relaxed intermediates match
-            # shape-wise; values are backend-independent either way
-            ref = jump_ref.jump_steps_with_dp(
+    for symmetry in (False, True):
+        jx, jy, jd = (
+            jnp.asarray(a)
+            for a in ((jxs, jys, jds) if symmetry else (jxp, jyp, jdp))
+        )
+        sc = jnp.zeros((n,), dtype=jnp.uint32)
+        # identical inv_stop so relaxed intermediates match
+        # shape-wise; values are backend-independent either way
+        ref = jump_ref.jump_steps_with_dp(
+            px, py, d, jx, jy, jd, masks, nb_run=nb_run,
+            inv_stop=min(jump_pallas.INV_STOP, n),
+            symmetry=symmetry, symclass=sc if symmetry else None,
+        )
+        try:
+            pal = jump_pallas.jump_steps_with_dp(
                 px, py, d, jx, jy, jd, masks, nb_run=nb_run,
-                inv_stop=min(jump_pallas.INV_STOP, n),
-                symmetry=symmetry, symclass=sc if symmetry else None,
+                block=n, interpret=interpret, symmetry=symmetry,
+                symclass=sc,
             )
-            jump_pallas.RADIX13 = radix13
-            try:
-                pal = jump_pallas.jump_steps_with_dp(
-                    px, py, d, jx, jy, jd, masks, nb_run=nb_run,
-                    block=n, interpret=interpret, symmetry=symmetry,
-                    symclass=sc,
-                )
-            except Exception as e:
-                # the experimental radix-13 path must not abort the
-                # whole check if its Mosaic lowering fails on new
-                # hardware; the default kernel's result still counts
-                if verbose:
-                    print(
-                        f"Check: pallas lockstep [sym={symmetry}, "
-                        f"radix13={radix13}] FAILED TO RUN: {e!r}"
-                    )
-                if radix13:
-                    continue
-                ok = False
-                continue
-            finally:
-                jump_pallas.RADIX13 = saved_r13
-            label = (
-                f"pallas lockstep [{platform}, sym={symmetry}"
-                + (", radix13" if radix13 else "") + "]"
-            )
-            exact = {0: "px", 2: "d", 3: "count", 4: "dpx", 5: "dpd",
-                     6: "step"}
-            if symmetry:
-                exact[7] = "symclass"
-            sub_ok = True
-            for idx, name in exact.items():
-                if not np.array_equal(
-                    np.asarray(ref[idx]), np.asarray(pal[idx])
-                ):
-                    sub_ok = False
-                    if verbose:
-                        print(f"Check: {label} MISMATCH in {name}")
-            ry = limbs_to_ints_fast(np.asarray(ref[1]))
-            qy = limbs_to_ints_fast(np.asarray(pal[1]))
-            for i in range(n):
-                if int(ry[i]) % P != int(qy[i]) % P:
-                    sub_ok = False
-                    if verbose:
-                        print(f"Check: {label} MISMATCH in py at lane {i}")
-                    break
-            # the window must have exercised the slot-overflow path
-            cnt = np.asarray(ref[3])
-            if int(cnt.max(initial=0)) <= 2 and verbose:
-                print(f"Check: {label} WARNING: no slot overflow exercised")
-            if sub_ok and verbose:
-                hits = int((cnt > 0).sum())
+        except Exception as e:
+            if verbose:
                 print(
-                    f"Check: {label} OK "
-                    f"({n} lanes x {nb_run} steps, {hits} DP lanes, "
-                    f"max hits/lane {int(cnt.max(initial=0))})"
+                    f"Check: pallas lockstep [sym={symmetry}] "
+                    f"FAILED TO RUN: {e!r}"
                 )
-            ok = ok and sub_ok
+            ok = False
+            continue
+        label = f"pallas lockstep [{platform}, sym={symmetry}]"
+        exact = {0: "px", 2: "d", 3: "count", 4: "dpx", 5: "dpd",
+                 6: "step"}
+        if symmetry:
+            exact[7] = "symclass"
+        sub_ok = True
+        for idx, name in exact.items():
+            if not np.array_equal(
+                np.asarray(ref[idx]), np.asarray(pal[idx])
+            ):
+                sub_ok = False
+                if verbose:
+                    print(f"Check: {label} MISMATCH in {name}")
+        ry = limbs_to_ints_fast(np.asarray(ref[1]))
+        qy = limbs_to_ints_fast(np.asarray(pal[1]))
+        for i in range(n):
+            if int(ry[i]) % P != int(qy[i]) % P:
+                sub_ok = False
+                if verbose:
+                    print(f"Check: {label} MISMATCH in py at lane {i}")
+                break
+        # the window must have exercised the slot-overflow path
+        cnt = np.asarray(ref[3])
+        if int(cnt.max(initial=0)) <= 2 and verbose:
+            print(f"Check: {label} WARNING: no slot overflow exercised")
+        if sub_ok and verbose:
+            hits = int((cnt > 0).sum())
+            print(
+                f"Check: {label} OK "
+                f"({n} lanes x {nb_run} steps, {hits} DP lanes, "
+                f"max hits/lane {int(cnt.max(initial=0))})"
+            )
+        ok = ok and sub_ok
     return ok
 
 

@@ -29,6 +29,7 @@ Design notes (TPU-first, not a port):
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 from functools import partial
 from typing import List, Sequence, Tuple
 
@@ -198,14 +199,12 @@ def _embed_c(top: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-# 16-row + carry-out restructure of the reduce tail (KT_TOPROW):
-# sublane tiles quantize row counts to 8, so every (17, N) op costs 3
-# tiles where a (16, N) op costs 2; carrying the overflow digit as an
-# (N,) scalar via _carry_exact_out keeps the whole tail at 2 tiles.
-# Bit-identical by construction.  DEFAULT ON: measured +2-3% alone and
-# +2.3% on top of the chunked-walk winners (v5e sweep, 2026-08-19,
-# hw_evidence/sweep_r03.txt).
-TOPROW = __import__("os").environ.get("KT_TOPROW", "1") == "1"
+# The reduce/fold tails run at 16 rows (2 sublane tiles, not 3: tiles
+# quantize row counts to 8) carrying the 2^256 overflow digit as an
+# (N,) scalar via _carry_exact_out.  Formerly gated as KT_TOPROW;
+# hard-defaulted after measuring +2-3% alone and +2.3% on top of the
+# chunked-walk winners (v5e sweep 2026-08-19, hw_evidence/
+# sweep_r03.txt).
 
 
 def _fold_small_arr(x16: jnp.ndarray, top: jnp.ndarray) -> jnp.ndarray:
@@ -219,13 +218,8 @@ def _fold_small_arr(x16: jnp.ndarray, top: jnp.ndarray) -> jnp.ndarray:
     2^256, the remaining low part is tiny, so the second fold cannot
     carry again.
     """
-    if TOPROW:
-        y, o = _carry_exact_out(_fit(x16, 16) + _embed_c(top), 16)
-        z = y + _embed_c(o)       # limbs < 2^16 + 977 < 2^17
-        return _carry_exact(z, 16)
-    y = _carry_exact(_fit(x16, 17) + _fit(_embed_c(top), 17), 17)
-    top2 = y[16]
-    z = y[:16] + _embed_c(top2)   # limbs < 2^16 + 977 < 2^17
+    y, o = _carry_exact_out(_fit(x16, 16) + _embed_c(top), 16)
+    z = y + _embed_c(o)       # limbs < 2^16 + 977 < 2^17
     return _carry_exact(z, 16)
 
 
@@ -245,14 +239,10 @@ def _cond_sub_p_arr(x: jnp.ndarray) -> jnp.ndarray:
 
     x >= p  <=>  x + c carries out of 2^256.
     """
-    if TOPROW:
-        s, o = _carry_exact_out(
-            _fit(x, 16) + _embed_c(jnp.ones_like(x[0])), 16
-        )
-        return jnp.where((o == 1)[None, :], s, x)
-    s = _carry_exact(_fit(x, 17) + _fit(_embed_c(jnp.ones_like(x[0])), 17), 17)
-    take = (s[16] == 1)[None, :]
-    return jnp.where(take, s[:16], x)
+    s, o = _carry_exact_out(
+        _fit(x, 16) + _embed_c(jnp.ones_like(x[0])), 16
+    )
+    return jnp.where((o == 1)[None, :], s, x)
 
 
 # ----------------------------------------------------------------------
@@ -266,17 +256,12 @@ def addmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     coordinate is canonicalized (see `canonicalize`), mirroring how the
     reference keeps values reduced only where DP/jump semantics need it.
     """
-    # one relaxed pass: limbs < 2^16+1, top exact by value preservation;
-    # _fold_small_arr accepts relaxed 16-row input (it starts with a
-    # full carry over 17 rows)
-    if TOPROW:
-        t = _fit(a, 16) + _fit(b, 16)      # limbs < 2^17
-        c = t >> 16
-        return _fold_small_arr(
-            _fit(t & _M16, 16) + _down(c, 1, 16), c[15]
-        )
-    t = _carry1(_fit(a, 17) + _fit(b, 17), 17)
-    return _fold_small_arr(t[:16], t[16])
+    # one relaxed pass: limbs < 2^16+1, top carried as an (N,) scalar
+    t = _fit(a, 16) + _fit(b, 16)      # limbs < 2^17
+    c = t >> 16
+    return _fold_small_arr(
+        _fit(t & _M16, 16) + _down(c, 1, 16), c[15]
+    )
 
 
 def _one_row0(like: jnp.ndarray) -> jnp.ndarray:
@@ -296,14 +281,10 @@ def submod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     carries is a - b + 2p < 2^258, i.e. t[16] <= 3, folded exactly.
     """
     t = a + _const_cols(TWOP_LOW_LIMBS, a) + (_M16 ^ b) + _one_row0(a)  # < 2^18
-    if TOPROW:
-        c = t >> 16                        # row digits <= 3
-        return _fold_small_arr(
-            _fit(t & _M16, 16) + _down(c, 1, 16), c[15]
-        )
-    t = _carry1(t, 17)            # limbs < 2^16 + 4 (relaxed is fine:
-    # _fold_small_arr re-carries over 17 rows before its second fold)
-    return _fold_small_arr(t[:16], t[16])
+    c = t >> 16                        # row digits <= 3
+    return _fold_small_arr(
+        _fit(t & _M16, 16) + _down(c, 1, 16), c[15]
+    )
 
 
 def negmod(a: jnp.ndarray) -> jnp.ndarray:
@@ -325,9 +306,7 @@ def mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     happen per product at full precision), then the shifted partial
     products are combined with a balanced adder tree whose operand
     widths grow from Rb+1 to Ra+Rb rows -- most adds run at half the
-    width of a naive full-width accumulator.  Operands may carry a
-    17th top row (relaxed chain values < 2^259 from reduce_512
-    relaxed_out); all limbs must be < 2^16.
+    width of a naive full-width accumulator.  All limbs must be < 2^16.
     """
     ra, rb = a.shape[0], b.shape[0]
     out_rows = ra + rb
@@ -358,114 +337,16 @@ def mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return _fit(terms[0], out_rows)
 
 
-# Lane width at or below which mulmod routes through the outer-3D
-# column builder.  Narrow whole-array ops are LATENCY-bound on the VPU
-# (a (16,128) op costs ~1 issue + ~6 cycles of dependent latency, same
-# as a (16,512) op), so the ~150-op dependent chain of the schoolbook
-# tree dominates the fold-tree's narrow levels.  The outer-3D form
-# computes all 256 partial products in ONE multiply on a (16,16,W)
-# array and sums them with a 4-level contiguous-halves tree (~15 wide
-# ops), trading element count for a 10x shorter dependency chain.
-OUTER_THRESH = int(__import__("os").environ.get("KT_OUTER", "0"))
-_FINRED = __import__("os").environ.get("KT_FINRED", "0") == "1"
-RELAX_CHAIN = __import__("os").environ.get("KT_RELAX", "0") == "1"
-COTREE = __import__("os").environ.get("KT_COTREE", "0") == "1"
-
-
-def mul_columns_outer(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Schoolbook columns via one outer-product multiply (narrow lanes).
-
-    a, b: (16, W) 16-bit limbs.  Returns (32, W) relaxed columns
-    (< 2^21), same contract as mul_columns.  All partial products
-    a_i*b_j are computed in a single (16,16,W) whole-array multiply;
-    the shifted accumulation runs as a contiguous-halves tree over the
-    outer (i) axis with group-local row shifts, so the whole build is
-    ~15 wide ops instead of a ~150-op narrow dependent chain.
-    """
-    w = a.shape[1]
-    a3 = jnp.broadcast_to(a.reshape(16, 1, w), (16, 16, w))
-    b3 = jnp.broadcast_to(b.reshape(1, 16, w), (16, 16, w))
-    t = a3 * b3                        # t[i, j] = a_i * b_j, 32-bit exact
-    lo = t & _M16
-    hi = t >> 16
-    # group i holds value sum_j (lo[i,j] + hi[i,j]*2^16) * 2^16j at
-    # rows j / j+1 of a 32-row window based at limb i
-    z = jnp.zeros((16, 1, w), jnp.uint32)
-    z15 = jnp.zeros((16, 15, w), jnp.uint32)
-    cur = jnp.concatenate([lo, jnp.zeros((16, 16, w), jnp.uint32)], axis=1)
-    cur = cur + jnp.concatenate([z, hi, z15], axis=1)   # (16, 32, W)
-    # contiguous-halves tree: merge group g with group g+G/2 shifted by
-    # G/2 limbs; row occupancy grows 17 -> 25 -> 29 -> 31 -> 32, so no
-    # shifted row ever leaves the 32-row window
-    g = 16
-    while g > 1:
-        s = g // 2
-        shifted = jnp.concatenate(
-            [jnp.zeros((s, s, w), jnp.uint32), cur[s:, : 32 - s, :]],
-            axis=1,
-        )
-        cur = cur[:s] + shifted
-        g = s
-    return cur.reshape(32, w)
-
-
-# Route the schoolbook column build through the MXU (KT_MXU=1): the
-# partial products are formed as one (2Ra, 2Rb, W) byte-level f32
-# broadcast multiply on the VPU (8x8-bit products < 2^16, exact in
-# f32), and the ENTIRE shifted-add tree -- the serial half of
-# mul_columns -- becomes one constant 0/1 placement matmul on the MXU,
-# which sits idle in this kernel otherwise.  Column sums are <= 34
-# products * 2^16 < 2^22, exact in f32 accumulation.  Even at equal
-# standalone op cost this can win: the matmul retires on the MXU
-# pipeline concurrently with the VPU's next operations.
-MXU_MUL = __import__("os").environ.get("KT_MXU", "0") == "1"
-
-
-def mul_columns_mxu(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Schoolbook columns via byte products + one MXU placement matmul.
-
-    a: (Ra, W), b: (Rb, W) 16-bit limbs (Ra/Rb in {16, 17}).  Returns
-    (Ra+Rb, W) relaxed columns (< 2^17), same contract as mul_columns.
-    """
-    ra, rb = a.shape[0], b.shape[0]
-    w = a.shape[1]
-    range_a, range_b = 2 * ra, 2 * rb
-    # byte rows, low byte first within each limb
-    ab = jnp.concatenate([a & jnp.uint32(0xFF), a >> 8], axis=0)
-    bb = jnp.concatenate([b & jnp.uint32(0xFF), b >> 8], axis=0)
-    # row r of ab has byte significance: r < ra -> 2r, else 2(r-ra)+1
-    af = ab.astype(jnp.int32).astype(jnp.float32)
-    bf = bb.astype(jnp.int32).astype(jnp.float32)
-    prod = af.reshape(range_a, 1, w) * bf.reshape(1, range_b, w)
-    prod2 = prod.reshape(range_a * range_b, w)   # f32, exact (< 2^16)
-
-    out_rows = ra + rb
-    # placement: product m = (r_a, r_b) lands at byte position
-    # sig(r_a) + sig(r_b); rows 0..out_rows-1 of P collect the EVEN
-    # byte positions 2t, rows out_rows.. collect the ODD positions
-    # 2t+1 (so the 16-bit recombination needs no strided slicing).
-    m = jax.lax.broadcasted_iota(jnp.int32, (2 * out_rows, range_a * range_b), 1)
-    k = jax.lax.broadcasted_iota(jnp.int32, (2 * out_rows, range_a * range_b), 0)
-    r_a = m // range_b
-    r_b = m % range_b
-    sig_a = jnp.where(r_a < ra, 2 * r_a, 2 * (r_a - ra) + 1)
-    sig_b = jnp.where(r_b < rb, 2 * r_b, 2 * (r_b - rb) + 1)
-    pos = sig_a + sig_b                      # byte position, 0..2*out_rows-2
-    want = jnp.where(k < out_rows, 2 * k, 2 * (k - out_rows) + 1)
-    placement = (pos == want).astype(jnp.float32)
-    # HIGHEST precision: the default TPU matmul downcasts f32 operands
-    # to bf16, which would truncate the 16-bit products; the multi-pass
-    # f32 algorithm keeps every product (< 2^16) and sum (< 2^22) exact
-    cols = jax.lax.dot_general(
-        placement, prod2,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                        # (2*out_rows, W), < 2^22
-    ci = cols.astype(jnp.int32).astype(jnp.uint32)
-    v = ci[:out_rows] + (ci[out_rows:] << 8)  # 16-bit columns, < 2^30
-    # one relaxed pass restores the < 2^22 reduce_512 entry contract
-    return _carry1(v, out_rows)
+# Measured-and-rejected column builders (code in git history, numbers
+# in ROUND_NOTES.md / BENCHMARKS.md; re-derive from commit faecd3b):
+# - mul_columns_outer (KT_OUTER): all 256 partial products in one
+#   (16,16,W) multiply + 4-level 3D tree.  Neutral in production --
+#   narrow fold-tree muls were already latency-~free.
+# - mul_columns_mxu (KT_MXU): byte-split products + one constant 0/1
+#   placement matmul on the MXU.  31 vs 130 MK/s: per-lane products
+#   cannot ride the MXU (the contraction is over the 1024-row product
+#   axis per LANE, so the f32-exact passes dominate), and the VPU
+#   byte-split traffic exceeds the adder tree it replaces.
 
 
 def sqr_columns(a: jnp.ndarray) -> jnp.ndarray:
@@ -516,7 +397,6 @@ def sqr_columns(a: jnp.ndarray) -> jnp.ndarray:
 def reduce_512(
     cols: jnp.ndarray,
     sub: Sequence[jnp.ndarray] = (),
-    relaxed_out: bool = False,
 ) -> jnp.ndarray:
     """Reduce (R, N) relaxed columns (< 2^22, R <= 34) mod p.
 
@@ -531,12 +411,7 @@ def reduce_512(
     y3 = lam*(qx-x3)-qy).  Per subtrahend the fold-2 accumulator gains
     2p + (~b) + 1 (= 2p - b >= 0 since b < 2^256 < 2p): limb growth
     2^18-ish on top of fold-2's < 2^27 rows, value growth < s*2^257 on
-    top of < 2^258 -- both far inside the 17-row/2^272 carry budget.
-
-    `relaxed_out`: skip the final small fold and return 17 rows
-    (16-bit limbs, value < 2^260, top row tiny) -- chain form for
-    values that feed another multiply (the batch-inversion tree and
-    lam), saving the 2 extra carry passes of _fold_small_arr.
+    top of < 2^258 -- both far inside the carry budget.
     """
     rows = cols.shape[0]
     lo = cols[:16]
@@ -546,85 +421,37 @@ def reduce_512(
     f = _fit(lo, w) + _fit(hi * jnp.uint32(C_LOW), w) + _down(hi, 2, w)
     # One relaxed carry pass suffices here: fold 2 only needs the VALUE
     # decomposition m_low + 2^256*H, and relaxed limbs (< 2^17) keep
-    # every downstream bound intact (h*977 < 2^27, g rows < 2^28, all
-    # inside _carry_full's entry contract).  Saves an exact-carry pass
-    # per multiply -- measured ~0.6% of the whole jump step each.
+    # every downstream bound intact (h*977 < 2^27, g rows < 2^28).
+    # Saves an exact-carry pass per multiply -- measured ~0.6% of the
+    # whole jump step each.
     m = _carry1(f, w + 1)
-    # Fold 2: H1 = the rows beyond 2^256 (relaxed limbs)
+    # Fold 2: H1 = the rows beyond 2^256 (relaxed limbs).  16-row tail:
+    # all fold-2 contributions live below row 16 (h*977 rows 0..4,
+    # h<<32 rows 2..6, subtrahends rows 0..15), so accumulate at 2
+    # sublane tiles and carry the 2^256 overflow digit as an (N,)
+    # scalar: row 15 gains at most ~2^18.6 (relaxed limb + 2
+    # subtrahends), so top = c[15] + out <= ~7, well inside
+    # _fold_small_arr's 977*top entry bound.
     h = m[16:]
-    if TOPROW and not relaxed_out and not _FINRED:
-        # 16-row tail: all fold-2 contributions live below row 16
-        # (h*977 rows 0..4, h<<32 rows 2..6, subtrahends rows 0..15),
-        # so accumulate at 2 tiles and carry the 2^256 overflow digit
-        # as an (N,) scalar: row 15 gains at most ~2^18.6 (relaxed limb
-        # + 2 subtrahends), so top = c[15] + out <= ~7, well inside
-        # _fold_small_arr's 977*top entry bound.
-        g = (
-            _fit(m[:16], 16)
-            + _fit(h * jnp.uint32(C_LOW), 16)
-            + _down(h, 2, 16)
-        )
-        for b in sub:
-            g = (
-                g
-                + _fit(_const_cols(TWOP_LOW_LIMBS, b), 16)
-                + _fit(_M16 ^ b, 16)
-                + _fit(_one_row0(b), 16)
-            )
-        lo = g & _M16
-        c = g >> 16
-        top = c[15]
-        e, out = _carry_exact_out(_fit(lo, 16) + _down(c, 1, 16), 16)
-        return _fold_small_arr(e, top + out)
     g = (
-        _fit(m[:16], 17)
-        + _fit(h * jnp.uint32(C_LOW), 17)
-        + _down(h, 2, 17)
+        _fit(m[:16], 16)
+        + _fit(h * jnp.uint32(C_LOW), 16)
+        + _down(h, 2, 16)
     )
     for b in sub:
         # (~b over 16 limbs) + 1 adds 2^256 - b; the (2p - 2^256) limb
         # constant completes it to the positive offset 2p - b
         g = (
             g
-            + _fit(_const_cols(TWOP_LOW_LIMBS, b), 17)
-            + _fit(_M16 ^ b, 17)
-            + _fit(_one_row0(b), 17)
+            + _fit(_const_cols(TWOP_LOW_LIMBS, b), 16)
+            + _fit(_M16 ^ b, 16)
+            + _fit(_one_row0(b), 16)
         )
-    if relaxed_out:
-        g = _carry_full(g, 17)
-        return g
-    if _FINRED:
-        return _finish_reduce(g)
-    g = _carry_full(g, 17)
-    return _fold_small_arr(g[:16], g[16])
-
-
-def _finish_reduce(g: jnp.ndarray) -> jnp.ndarray:
-    """Finish a reduction: (17, N) fold-2 columns -> 16 rows < 2^256.
-
-    Contract: g rows 0..15 < 2^28 (relaxed fold-2 columns, possibly
-    with fused subtrahends), row 16 == 0, total value < 2^262.
-
-    Replaces the former carry_full + _fold_small_arr tail (two relaxed
-    passes + THREE dependent exact carries) with one relaxed pass, one
-    fold, and TWO exact carries that are INDEPENDENT of each other:
-    e_a resolves the fold; e_b resolves fold+c; the 2^256 carry-out of
-    e_a selects between them.  Correct because when e_a carries out
-    (value >= 2^256) the desired result is value + c - 2^256, which is
-    exactly e_b's low 16 rows (e_b < 2^257 so its top is the same
-    carry).  Saves ~240 element-ops per reduction and shortens the
-    serial carry chain 3 -> 1 -- the latter is what the latency-bound
-    narrow fold-tree levels feel.
-    """
-    r1 = _carry1(g, 17)
-    # limbs < 2^16 + 2^12; row16 < 2^6 by the value bound (all rows
-    # non-negative, so 2^256*row16 <= value < 2^262)
-    f2 = r1[:16] + _embed_c(r1[16])
-    # limb0 < 2^16 + 2^12 + 977*2^6 <= 2^17 - 2: packed-carry bound ok
-    e_a = _carry_exact(_fit(f2, 17), 17)
-    e_b = _carry_exact(_fit(f2 + _embed_c(jnp.ones_like(f2[0])), 17), 17)
-    take_b = (e_a[16] == 1)[None, :]
-    return jnp.where(take_b, e_b[:16], e_a[:16])
+    lo = g & _M16
+    c = g >> 16
+    top = c[15]
+    e, out = _carry_exact_out(_fit(lo, 16) + _down(c, 1, 16), 16)
+    return _fold_small_arr(e, top + out)
 
 
 def canonicalize(x: jnp.ndarray) -> jnp.ndarray:
@@ -639,7 +466,27 @@ def canonicalize(x: jnp.ndarray) -> jnp.ndarray:
 # v5e sweep (89.8 -> 111 MK/s alone at the old 4096 block; at the
 # 32768-block winner 128 beat 256/512 by 1-4% -- hw_evidence/
 # sweep_r03.txt).
+#
+# Chunking only pays INSIDE a Pallas kernel (VMEM-resident chunk
+# intermediates).  On the XLA paths (EC scalar mult, the reference
+# walk, -backend xla) the same split is catastrophic: a 2^17-lane
+# mulmod becomes 1024 tiny HLO ops -- giant graphs, dispatch-bound
+# execution.  So chunking activates only under the `chunking()`
+# context, which the Pallas kernel body enters while it is traced.
 MUL_CHUNK = int(__import__("os").environ.get("KT_MULW", "128"))
+CHUNK_ACTIVE = False
+
+
+@_contextlib.contextmanager
+def chunking():
+    """Enable lane-chunked mulmod/sqrmod while tracing a Pallas kernel."""
+    global CHUNK_ACTIVE
+    saved = CHUNK_ACTIVE
+    CHUNK_ACTIVE = True
+    try:
+        yield
+    finally:
+        CHUNK_ACTIVE = saved
 
 
 def _lane_chunks(w: int, fn):
@@ -656,51 +503,26 @@ def _lane_chunks(w: int, fn):
 
 
 def mulmod(a: jnp.ndarray, b: jnp.ndarray,
-           sub: Sequence[jnp.ndarray] = (),
-           relaxed_out: bool = False) -> jnp.ndarray:
-    """(a*b - sum(sub)) mod p, relaxed (< 2^256; 17-row chain form
-    < 2^260 when relaxed_out).  Inputs: 16-row values < 2^256 or
-    17-row chain values from a relaxed_out multiply."""
-    if MUL_CHUNK and a.shape[1] > MUL_CHUNK:
+           sub: Sequence[jnp.ndarray] = ()) -> jnp.ndarray:
+    """(a*b - sum(sub)) mod p, relaxed (< 2^256).  Inputs: 16-row
+    values < 2^256."""
+    if CHUNK_ACTIVE and MUL_CHUNK and a.shape[1] > MUL_CHUNK:
         return _lane_chunks(
             MUL_CHUNK,
-            lambda aa, bb, *ss: _mulmod1(aa, bb, ss, relaxed_out),
+            lambda aa, bb, *ss: reduce_512(mul_columns(aa, bb), sub=ss),
         )(a, b, *sub)
-    return _mulmod1(a, b, sub, relaxed_out)
+    return reduce_512(mul_columns(a, b), sub=sub)
 
 
-def _mulmod1(a, b, sub, relaxed_out):
-    if MXU_MUL:
-        cols = mul_columns_mxu(a, b)
-    elif (
-        a.shape[0] == 16
-        and b.shape[0] == 16
-        and a.shape[1] <= OUTER_THRESH
-    ):
-        cols = mul_columns_outer(a, b)
-    else:
-        cols = mul_columns(a, b)
-    return reduce_512(cols, sub=sub, relaxed_out=relaxed_out)
-
-
-def sqrmod(a: jnp.ndarray, sub: Sequence[jnp.ndarray] = (),
-           relaxed_out: bool = False) -> jnp.ndarray:
+def sqrmod(a: jnp.ndarray,
+           sub: Sequence[jnp.ndarray] = ()) -> jnp.ndarray:
     """(a^2 - sum(sub)) mod p, relaxed."""
-    # MXU path: the full product array IS the square (every (i, j) pair
-    # counted once); the 2S-D triangular shortcut only pays on the VPU
-    col_fn = mul_columns_mxu if MXU_MUL else None
-    if MUL_CHUNK and a.shape[1] > MUL_CHUNK:
+    if CHUNK_ACTIVE and MUL_CHUNK and a.shape[1] > MUL_CHUNK:
         return _lane_chunks(
             MUL_CHUNK,
-            lambda aa, *ss: reduce_512(
-                col_fn(aa, aa) if col_fn else sqr_columns(aa),
-                sub=ss, relaxed_out=relaxed_out,
-            ),
+            lambda aa, *ss: reduce_512(sqr_columns(aa), sub=ss),
         )(a, *sub)
-    return reduce_512(
-        col_fn(a, a) if col_fn else sqr_columns(a),
-        sub=sub, relaxed_out=relaxed_out,
-    )
+    return reduce_512(sqr_columns(a), sub=sub)
 
 
 # ----------------------------------------------------------------------
@@ -784,55 +606,9 @@ def _matmul_de(u, v, q, r, d, e):
     return res[:, :n], res[:, n:]
 
 
-# Packed divstep inner loop (KT_DSPACK): the 43x14 iteration chain is
-# the kernel's largest pure-latency block (~10.8 us per extra divstep
-# measured in production); packing (u, v, flow) / (q, r, glow) as
-# (3, N) rows turns the 7 per-value updates into 3 whole-array ops
-# sharing one sign multiplier -- ~26 -> ~15 dependent ops/iteration.
-# 1 = row-broadcast shifts ((3,1) shift operand), 2 = slice+concat
-# (fallback if Mosaic rejects non-splat shift amounts).  Bit-identical;
-# gated until measured on hardware.
-DSPACK = int(__import__("os").environ.get("KT_DSPACK", "0"))
-
-
-def _divstep_inner_packed(flow, glow, delta):
-    """14 divsteps on packed (3,N) low-word state; returns u,v,q,r,delta.
-
-    A = [u, v, flow], B = [q, r, glow] (int32; flow/glow wrap mod 2^32).
-    Per iteration both branches collapse to:
-        A' = where(swap, B, A) * [2, 2, 1]
-        B' = (B + A * where(swap, -1, odd)) >> [0, 0, 1]
-    which is exactly the unpacked update: on swap (q<<1, r<<1, glow |
-    q-u, r-v, (glow-flow)/2), else (u<<1, v<<1, flow | q+odd*u,
-    r+odd*v, (glow+odd*flow)/2).
-    """
-    n = flow.shape[0]
-    one = jnp.ones((1, n), dtype=_I32)
-    zero = jnp.zeros((1, n), dtype=_I32)
-    a = jnp.concatenate([one, zero, flow[None, :]], axis=0)
-    b = jnp.concatenate([zero, one, glow[None, :]], axis=0)
-    # row constants built in-trace (no captured arrays inside Pallas)
-    k1 = jnp.concatenate(
-        [jnp.full((2, 1), 2, dtype=_I32), jnp.ones((1, 1), dtype=_I32)],
-        axis=0,
-    )
-    s2 = jnp.concatenate(
-        [jnp.zeros((2, 1), dtype=_I32), jnp.ones((1, 1), dtype=_I32)],
-        axis=0,
-    )
-    for _ in range(DIVSTEP_W):
-        odd = b[2] & 1
-        swap = (delta > 0) & (odd == 1)
-        delta = jnp.where(swap, 2 - delta, 2 + delta)
-        sel = jnp.where(swap[None, :], b, a)
-        sgn = jnp.where(swap, jnp.full_like(odd, -1), odd)
-        bp = b + a * sgn[None, :]
-        a = sel * k1
-        if DSPACK == 1:
-            b = bp >> s2
-        else:
-            b = jnp.concatenate([bp[:2], bp[2:3] >> 1], axis=0)
-    return a[0], a[1], b[0], b[1], delta
+# (A packed (3,N)-row divstep inner loop -- KT_DSPACK -- was measured
+# 79.5 vs 89.8 MK/s on v5e and removed; hw_evidence/sweep_r03.txt,
+# code in git history.)
 
 
 def _divstep_rounds(f, g, d, e, delta):
@@ -844,11 +620,6 @@ def _divstep_rounds(f, g, d, e, delta):
     """
     flow = _i(f[0]) + (_i(f[1]) << 16)
     glow = _i(g[0]) + (_i(g[1]) << 16)
-    if DSPACK:
-        u, v, q, r, delta = _divstep_inner_packed(flow, glow, delta)
-        f, g = _matmul_fg(u, v, q, r, f, g)
-        d, e = _matmul_de(u, v, q, r, d, e)
-        return f, g, d, e, delta
     u = jnp.ones_like(delta)
     v = jnp.zeros_like(delta)
     q = jnp.zeros_like(delta)
@@ -931,8 +702,7 @@ def modinv(a: jnp.ndarray) -> jnp.ndarray:
 # Batch inversion: contiguous fold tree (Montgomery trick)
 # ----------------------------------------------------------------------
 
-def batch_inv(a: jnp.ndarray, stop: int = 1024,
-              relaxed_out: bool = False) -> jnp.ndarray:
+def batch_inv(a: jnp.ndarray, stop: int = 1024) -> jnp.ndarray:
     """Invert all N lanes with ~3 multiplies per lane + one divstep pass.
 
     Fold tree: products of first half x second half until the width
@@ -941,12 +711,14 @@ def batch_inv(a: jnp.ndarray, stop: int = 1024,
     yield zero (the reference's IntGroup has undefined behaviour on
     zero; the jump step never inverts zero for distinct points).
 
-    relaxed_out returns the inverses in 17-row chain form (final fold
-    skipped).  NB: measured on v5e this LOSES ~3% in the walk -- 17
-    rows pad to 3 sublane tiles -- so the walk keeps 16-row values;
-    the option remains for consumers with different tiling economics.
+    (Measured-and-rejected variants, code in git history: a fused
+    double-width unfold multiply per level, -2.6%, the lane concats are
+    real copies; a co-tree batch_div with a shorter critical path,
+    80.7 vs 89.1 MK/s -- Mosaic schedules essentially in order, so
+    independent work does not overlap and only total op count counts;
+    17-row relaxed chain outputs, -3%, a 17th row costs a whole extra
+    sublane tile in every consumer.)
     """
-    n = a.shape[1]
     levels = []
     cur = a
     while cur.shape[1] > stop and cur.shape[1] % 2 == 0:
@@ -955,70 +727,13 @@ def batch_inv(a: jnp.ndarray, stop: int = 1024,
         levels.append(cur)
         cur = mulmod(lo, hi)
     root_inv = modinv(cur)
-    for i, lev in enumerate(reversed(levels)):
-        last = i == len(levels) - 1
-        half = lev.shape[1] // 2
-        lo, hi = lev[:, :half], lev[:, half:]
-        rx = relaxed_out and last
-        # (A fused double-width multiply per level -- [root|root] *
-        # [hi|lo] -- was measured 2.6% SLOWER overall: the lane
-        # concatenations are real copies that outweigh the saved
-        # narrow-call issue overhead.)
-        inv_lo = mulmod(root_inv, hi, relaxed_out=rx)
-        inv_hi = mulmod(root_inv, lo, relaxed_out=rx)
-        root_inv = jnp.concatenate([inv_lo, inv_hi], axis=1)
-    return root_inv
-
-
-def batch_div(num: jnp.ndarray, den: jnp.ndarray,
-              stop: int = 128) -> jnp.ndarray:
-    """(num / den) mod p per lane via a co-tree batched inversion.
-
-    Same multiply count as batch_inv + mulmod, but a far shorter
-    CRITICAL PATH: the classic up-sweep is a serial chain of
-    log2(N/stop) levels that can only start after the divstep, while
-    the co-tree (cot[lane] = product of the lane's fold-tree path
-    siblings) depends only on the down-products, so it runs
-    CONCURRENTLY with the divstep; after the root inversion only TWO
-    dependent multiplies remain:
-
-        den^-1[lane] = cot[lane] * root_inv[lane mod stop]
-        num/den      = (num * cot) * tile(root_inv)
-
-    The production kernel is priced by its serial dependency chain
-    (see ROUND_NOTES session-2 measurements), so removing ~5 dependent
-    up-sweep levels is worth far more than the one extra wide multiply
-    this costs.  Value-exact: multiplication mod p is associative, so
-    num/den mod p is identical to the up-sweep result (the relaxed
-    representative may differ; the walk only consumes values mod p and
-    the canonical x).  Zero denominators yield zero (as batch_inv).
-    """
-    n = den.shape[1]
-    if n <= stop or n % 2:
-        return mulmod(num, batch_inv(den, stop=stop))
-    levels = []
-    cur = den
-    while cur.shape[1] > stop and cur.shape[1] % 2 == 0:
-        half = cur.shape[1] // 2
-        levels.append(cur)
-        cur = mulmod(cur[:, :half], cur[:, half:])
-    root_inv = modinv(cur)          # latency-bound divstep chain
-    # co-tree, top-down; independent of root_inv so the scheduler can
-    # overlap it with the divstep
-    cot = None
     for lev in reversed(levels):
         half = lev.shape[1] // 2
         lo, hi = lev[:, :half], lev[:, half:]
-        if cot is None:
-            cot = jnp.concatenate([hi, lo], axis=1)
-        else:
-            cot = jnp.concatenate(
-                [mulmod(cot, hi), mulmod(cot, lo)], axis=1
-            )
-    e = mulmod(num, cot)
-    reps = n // cur.shape[1]
-    tiled = jnp.concatenate([root_inv] * reps, axis=1)
-    return mulmod(e, tiled)
+        inv_lo = mulmod(root_inv, hi)
+        inv_hi = mulmod(root_inv, lo)
+        root_inv = jnp.concatenate([inv_lo, inv_hi], axis=1)
+    return root_inv
 
 
 # ----------------------------------------------------------------------
@@ -1069,25 +784,16 @@ def y_is_high(y: jnp.ndarray) -> jnp.ndarray:
     Mirrors Int::ModPositiveK1 (IntMod.cpp:1270-1282): the canonical
     representative of {P, -P} keeps the smaller y.
     """
-    if TOPROW:
-        _, o = _carry_exact_out(
-            _fit(y, 16) + _const_cols(HALF_TEST_LIMBS, y), 16
-        )
-        return o
-    s = _carry_exact(
-        _fit(y, 17) + _fit(_const_cols(HALF_TEST_LIMBS, y), 17), 17
+    _, o = _carry_exact_out(
+        _fit(y, 16) + _const_cols(HALF_TEST_LIMBS, y), 16
     )
-    return s[16]
+    return o
 
 
 def neg_y(y: jnp.ndarray) -> jnp.ndarray:
     """p - y for canonical y (0 < y < p), canonical result."""
     # p + (~y) + 1 over 16 limbs; the 2^256 carry is implicit (y <= p)
     t = _const_cols(P_LIMBS, y) + (_M16 ^ y) + _one_row0(y)
-    if TOPROW:
-        c = t >> 16
-        # the 2^256 carry-out (borrow guard) drops off the top row
-        return _carry_exact(_fit(t & _M16, 16) + _down(c, 1, 16), 16)
-    t = _carry1(t, 17)
-    t = _carry_exact(t, 17)
-    return t[:16]  # row 16 is the dropped 2^256 borrow-guard
+    c = t >> 16
+    # the 2^256 carry-out (borrow guard) drops off the top row
+    return _carry_exact(_fit(t & _M16, 16) + _down(c, 1, 16), 16)

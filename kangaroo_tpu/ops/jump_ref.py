@@ -83,20 +83,9 @@ def affine_add_walk(px, py, qx, qy, inv_stop: int):
     a few row-adds vs ~4% of the whole step for a standalone submod.
     """
     dx = field.submod(qx, px)
-    # NB: the 17-row relaxed chain form (relaxed_out=True) measured
-    # NET SLOWER here (-3%): TPU sublane tiles quantize row counts to
-    # 8, so a 17th row costs a whole extra tile in every consumer --
-    # more than the final fold it saves.  Keep 16-row values.
-    # (KT_RELAX=1 re-enables it for measurement.)
     dy = field.submod(qy, py)
-    if field.COTREE:
-        # co-tree division: same multiply count, ~5 fewer serial
-        # levels on the critical path (see field.batch_div)
-        lam = field.batch_div(dy, dx, stop=inv_stop)
-    else:
-        inv = field.batch_inv(dx, stop=inv_stop,
-                              relaxed_out=field.RELAX_CHAIN)
-        lam = field.mulmod(dy, inv)
+    inv = field.batch_inv(dx, stop=inv_stop)
+    lam = field.mulmod(dy, inv)
     # reduce output < 2^256 < 2p, so one conditional subtract suffices
     x3 = field.canonicalize(field.sqrmod(lam, sub=(px, qx)))
     y3 = field.mulmod(lam, field.submod(qx, x3), sub=(qy,))

@@ -1,15 +1,15 @@
-"""Sweep lane-chunk widths for the production Pallas kernel in ONE
-process (one relay/device init, one remote-compile session).
+"""Sweep the surviving kernel tunables for the production Pallas
+kernel in ONE process (one relay/device init, one remote-compile
+session).
 
-Variants are driven by rebinding field.MUL_CHUNK / jump_pallas.WALKW
-and clearing the jit trace cache between runs; each variant recompiles
-from the new globals.  Prints one line per variant:
+Variants are driven by rebinding field.MUL_CHUNK / jump_pallas.WALKW /
+INV_STOP and clearing the jit trace cache between runs; each variant
+recompiles from the new globals.  Prints one line per variant:
 
-    mulw=512 walkw=0 value=97.3 MK/s
+    mulw=128 walkw=512 blk=32768 invstop=128 nbrun=128 value=153.0 MK/s
 
-Usage: python scripts/chunk_sweep.py [mulw:walkw ...]
-Default sweep: base, mulw in {1024,512,256}, walkw in {1024,512},
-and the most promising combos.
+Usage: python scripts/chunk_sweep.py [mulw:walkw:blk:invstop:nbrun ...]
+(0 = module default for that axis.)
 """
 
 from __future__ import annotations
@@ -31,12 +31,14 @@ import numpy as np
 
 
 def main() -> None:
+    from kangaroo_tpu.cli import enable_compile_cache
     from kangaroo_tpu.core.jumptable import create_jump_table
     from kangaroo_tpu.ops import field, jump_pallas, jump_ref
 
+    enable_compile_cache()
     on_tpu = jax.devices()[0].platform == "tpu"
     n = 1 << 19 if on_tpu else 1 << 12
-    nb_run = 128 if on_tpu else 8
+    nb_run0 = 128 if on_tpu else 8
     reps = 3 if on_tpu else 2
 
     rng = np.random.RandomState(1234)
@@ -53,43 +55,36 @@ def main() -> None:
     variants = []
     for spec in sys.argv[1:]:
         parts = [int(v) for v in spec.split(":")]
-        while len(parts) < 10:
+        while len(parts) < 5:
             parts.append(0)
-        # (mulw, walkw, block, full, toprow, outer, dspack, invstop,
-        # radix13, mxu); 0 = default
         variants.append(tuple(parts))
     if not variants:
         # confirmation set around the round-3 defaults (mulw=128,
-        # walkw=512, blk=32768, toprow=1); see hw_evidence/sweep_r03.txt
+        # walkw=512, blk=32768); see hw_evidence/sweep_r03.txt
         variants = [
-            (0, 0, 0, 0, 1, 0, 0, 0, 0, 0),       # the defaults
-            (256, 0, 0, 0, 1, 0, 0, 0, 0, 0),
-            (0, 256, 0, 0, 1, 0, 0, 0, 0, 0),
-            (0, 0, 16384, 0, 1, 0, 0, 0, 0, 0),
-            (0, 0, 8192, 0, 1, 0, 0, 0, 0, 0),
-            (0, 0, 0, 0, 0, 0, 0, 0, 0, 0),       # toprow off
-            (0, 0, 0, 0, 1, 0, 0, 256, 0, 0),     # deeper fold stop
-            (0, 0, 0, 0, 1, 0, 0, 0, 1, 0),       # radix13 at defaults
+            (0, 0, 0, 0, 0),           # the defaults
+            (256, 0, 0, 0, 0),
+            (0, 256, 0, 0, 0),
+            (0, 1024, 0, 0, 0),
+            (0, 0, 16384, 0, 0),
+            (0, 0, 0, 256, 0),         # deeper fold stop
+            (0, 0, 0, 0, 256),         # longer launch window
         ]
     interp = not on_tpu  # CPU smoke-testing only
     stop0 = jump_pallas.INV_STOP
-    variants = [v + (0,) * (10 - len(v)) for v in variants]
-    for (mulw, walkw, vblk, full, toprow, outer, dspack, invstop,
-         radix13, mxu) in variants:
+    for (mulw, walkw, vblk, invstop, nbr) in variants:
         blk = min(vblk or jump_pallas.DEFAULT_BLOCK, n)
-        field.MUL_CHUNK = mulw
-        jump_pallas.WALKW = walkw
-        jump_pallas.WALKFULL = bool(full)
-        field.TOPROW = bool(toprow)
-        field.OUTER_THRESH = outer
-        field.DSPACK = dspack
+        nb_run = nbr or nb_run0
+        field.MUL_CHUNK = mulw or 128
+        jump_pallas.WALKW = walkw or 512
         jump_pallas.INV_STOP = invstop or stop0
-        jump_pallas.RADIX13 = bool(radix13)
-        field.MXU_MUL = bool(mxu)
         jax.clear_caches()
+        label = (f"mulw={field.MUL_CHUNK} walkw={jump_pallas.WALKW} "
+                 f"blk={blk} invstop={invstop or stop0} nbrun={nb_run}")
         try:
             out = jump_pallas.jump_steps_with_dp(
-                px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=blk, interpret=interp
+                px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=blk,
+                interpret=interp,
             )
             barrier(out[0])  # compile + settle
             t0 = time.perf_counter()
@@ -103,15 +98,9 @@ def main() -> None:
             barrier(cur[0])
             dt = time.perf_counter() - t0
             rate = n * nb_run * reps / dt / 1e6
-            print(f"mulw={mulw} walkw={walkw} blk={blk} full={full} "
-                  f"toprow={toprow} outer={outer} dspack={dspack} "
-                  f"invstop={invstop or stop0} radix13={radix13} "
-                  f"mxu={mxu} value={rate:.1f} MK/s", flush=True)
+            print(f"{label} value={rate:.1f} MK/s", flush=True)
         except Exception as e:  # keep sweeping on a failed variant
-            print(f"mulw={mulw} walkw={walkw} blk={blk} full={full} "
-                  f"toprow={toprow} outer={outer} dspack={dspack} "
-                  f"invstop={invstop or stop0} radix13={radix13} "
-                  f"mxu={mxu} FAILED: {e!r}", flush=True)
+            print(f"{label} FAILED: {e!r}", flush=True)
 
 
 if __name__ == "__main__":

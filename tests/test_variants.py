@@ -1,13 +1,15 @@
-"""Env-gated kernel variants: bit-exactness of every sweep combination.
+"""Env-gated kernel tunables: bit-exactness of every sweep setting.
 
-The perf sweep (scripts/chunk_sweep.py) toggles module globals that
-reroute the hot path: field.TOPROW (16-row reduce tail with a scalar
-2^256 carry-out), field.MUL_CHUNK (lane-chunked mulmod/sqrmod),
-jump_pallas.WALKW/WALKFULL (step-tail chunking in the kernel).  Each
-variant must stay bit-identical to the default path so the sweep can
-flip winners to defaults without a correctness pass.  TPU counterpart
-of the reference's GPU-kernel config sweeps being covered by the same
-Check.cpp:467-619 lockstep.
+The perf sweep (scripts/chunk_sweep.py) toggles the surviving module
+tunables that reroute the hot path: field.MUL_CHUNK (lane-chunked
+mulmod/sqrmod) and jump_pallas.WALKW (step-tail chunking in the
+kernel).  Each setting must stay bit-identical to the unchunked path
+so the sweep can flip winners to defaults without a correctness pass.
+TPU counterpart of the reference's GPU-kernel config sweeps being
+covered by the same Check.cpp:467-619 lockstep.
+
+Also pins the always-on 16-row reduce tail (formerly KT_TOPROW)
+against a Python bignum oracle on carry-boundary edge values.
 """
 
 import contextlib
@@ -26,28 +28,20 @@ from kangaroo_tpu.utils.rng import MT19937
 
 
 @contextlib.contextmanager
-def variant(toprow=False, mulw=0, walkw=0, walkfull=False, dspack=0,
-            outer=0):
-    saved = (field.TOPROW, field.MUL_CHUNK, field.DSPACK,
-             field.OUTER_THRESH, jump_pallas.WALKW, jump_pallas.WALKFULL)
-    field.TOPROW = toprow
+def variant(mulw=0, walkw=0):
+    saved = (field.MUL_CHUNK, jump_pallas.WALKW)
     field.MUL_CHUNK = mulw
-    field.DSPACK = dspack
-    field.OUTER_THRESH = outer
     jump_pallas.WALKW = walkw
-    jump_pallas.WALKFULL = walkfull
     jax.clear_caches()
     try:
         yield
     finally:
-        (field.TOPROW, field.MUL_CHUNK, field.DSPACK,
-         field.OUTER_THRESH, jump_pallas.WALKW,
-         jump_pallas.WALKFULL) = saved
+        field.MUL_CHUNK, jump_pallas.WALKW = saved
         jax.clear_caches()
 
 
 def _field_edge_vals():
-    # values that stress the TOPROW carry-out paths: near p, near 2^256,
+    # values that stress the scalar carry-out paths: near p, near 2^256,
     # and pairs whose sum/product straddles the 2^256 fold boundary
     vals = [0, 1, 2, 977, P - 1, P - 2, P, P + 1,
             (1 << 256) - 1, (1 << 256) - 977, (1 << 255), P >> 1,
@@ -57,7 +51,7 @@ def _field_edge_vals():
     return vals
 
 
-def test_toprow_field_ops_match_oracle():
+def test_field_ops_match_oracle_edge_values():
     ev = _field_edge_vals()
     a_int, b_int = [], []
     for x in ev:
@@ -74,17 +68,14 @@ def test_toprow_field_ops_match_oracle():
     b_int += [0] * pad
     a = jnp.asarray(ints_to_limbs(a_int))
     b = jnp.asarray(ints_to_limbs(b_int))
-    want_hi = np.asarray(field.y_is_high(field.canonicalize(a)))
-    with variant(toprow=True):
-        got_add = limbs_to_ints(np.asarray(field.addmod(a, b)))
-        got_sub = limbs_to_ints(np.asarray(field.submod(a, b)))
-        got_mul = limbs_to_ints(np.asarray(field.mulmod(a, b)))
-        got_muls = limbs_to_ints(
-            np.asarray(field.mulmod(a, b, sub=(a, b)))
-        )
-        got_sqr = limbs_to_ints(np.asarray(field.sqrmod(a)))
-        got_can = limbs_to_ints(np.asarray(field.canonicalize(a)))
-        got_hi = np.asarray(field.y_is_high(field.canonicalize(a)))
+    got_add = limbs_to_ints(np.asarray(field.addmod(a, b)))
+    got_sub = limbs_to_ints(np.asarray(field.submod(a, b)))
+    got_mul = limbs_to_ints(np.asarray(field.mulmod(a, b)))
+    got_muls = limbs_to_ints(
+        np.asarray(field.mulmod(a, b, sub=(a, b)))
+    )
+    got_sqr = limbs_to_ints(np.asarray(field.sqrmod(a)))
+    got_can = limbs_to_ints(np.asarray(field.canonicalize(a)))
     for g, x, y in zip(got_add, a_int, b_int):
         assert g % P == (x + y) % P and g < (1 << 256)
     for g, x, y in zip(got_sub, a_int, b_int):
@@ -97,29 +88,21 @@ def test_toprow_field_ops_match_oracle():
         assert g % P == (x * x) % P and g < (1 << 256)
     for g, x in zip(got_can, a_int):
         assert g == x % P
-    np.testing.assert_array_equal(got_hi, want_hi)
 
 
 VARIANTS = [
-    dict(toprow=True),
     dict(mulw=64),
     dict(walkw=64),
-    dict(walkw=64, walkfull=True),
-    dict(dspack=1),
-    dict(dspack=2),
-    dict(outer=256),
-    dict(toprow=True, mulw=64, walkw=64, walkfull=True, dspack=1,
-         outer=256),
+    dict(mulw=64, walkw=64),
+    dict(mulw=32, walkw=128),
 ]
 
 
 @pytest.mark.parametrize(
-    "cfg", VARIANTS,
-    ids=["toprow", "mulw", "walkw", "walkfull", "dspack1", "dspack2",
-         "outer", "all"],
+    "cfg", VARIANTS, ids=["mulw", "walkw", "both", "cross"],
 )
 def test_variant_walk_lockstep(cfg):
-    """Each gated variant walks bit-identically to the default XLA path
+    """Each chunk setting walks bit-identically to the unchunked path
     (both the XLA walk and the interpret-mode Pallas kernel)."""
     n = 256
     nb_run = 16
@@ -133,11 +116,12 @@ def test_variant_walk_lockstep(cfg):
     px, py, d = herd_mod.create_herd(n, 64, width_div2, key, 0, rng)
     px, py, d = jnp.asarray(px), jnp.asarray(py), jnp.asarray(d)
 
-    base = [
-        np.asarray(x) for x in jump_ref.jump_steps_with_dp(
-            px, py, d, jx, jy, jd, masks, nb_run=nb_run, inv_stop=64
-        )
-    ]
+    with variant():  # unchunked baseline
+        base = [
+            np.asarray(x) for x in jump_ref.jump_steps_with_dp(
+                px, py, d, jx, jy, jd, masks, nb_run=nb_run, inv_stop=64
+            )
+        ]
     assert base[3].sum() > 0  # the window produced DPs
     with variant(**cfg):
         got_ref = jump_ref.jump_steps_with_dp(
@@ -156,8 +140,8 @@ def test_variant_walk_lockstep(cfg):
 
 
 def test_variant_walk_lockstep_symmetry():
-    """The combined variant in symmetry mode (signed distances, symclass
-    flips exercise the TOPROW y_is_high carry-out)."""
+    """The combined chunk setting in symmetry mode (signed distances,
+    symclass flips exercise the scalar carry-out of y_is_high)."""
     n = 128
     nb_run = 12
     jt = create_jump_table(48, symmetry=True)
@@ -170,13 +154,14 @@ def test_variant_walk_lockstep_symmetry():
         n, 48, width_div2, key, 0, rng, symmetry=True
     )
     px, py, d = jnp.asarray(px), jnp.asarray(py), jnp.asarray(d)
-    base = [
-        np.asarray(x) for x in jump_ref.jump_steps_with_dp(
-            px, py, d, jx, jy, jd, masks, nb_run=nb_run, inv_stop=32,
-            symmetry=True,
-        )
-    ]
-    with variant(toprow=True, mulw=32, walkw=32, walkfull=True):
+    with variant():
+        base = [
+            np.asarray(x) for x in jump_ref.jump_steps_with_dp(
+                px, py, d, jx, jy, jd, masks, nb_run=nb_run, inv_stop=32,
+                symmetry=True,
+            )
+        ]
+    with variant(mulw=32, walkw=32):
         got = jump_pallas.jump_steps_with_dp(
             px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=n,
             interpret=True, symmetry=True,
@@ -184,92 +169,4 @@ def test_variant_walk_lockstep_symmetry():
         got = [np.asarray(x) for x in got]
     names = ["px", "py", "d", "count", "dpx", "dpd", "dp_step", "symclass"]
     for name, want, g in zip(names, base, got):
-        np.testing.assert_array_equal(g, want, err_msg=name)
-
-
-@pytest.mark.parametrize("dp_size", [6, 2], ids=["dp6", "dp2-overflow"])
-def test_radix13_walk_lockstep(dp_size):
-    """KT_RADIX13 kernel vs the default XLA walk: identical canonical
-    x, distances, DP slots; y compared canonically (the radix-13
-    kernel emits canonical y, the reference path a relaxed
-    representative of the same class).  dp 2 forces the slot-overflow
-    path (hits beyond the capture slots are counted and dropped)."""
-    n = 256
-    nb_run = 16
-    jt = create_jump_table(64)
-    jx, jy, jd = (jnp.asarray(x) for x in jt.as_arrays())
-    masks = jnp.asarray(jump_ref.dp_limb_masks(dp_size))
-    rng = MT19937(4242)
-    width_div2 = ((1 << 64) - 1) >> 1
-    key = curve.mul(0x5EED5EED)
-    px, py, d = herd_mod.create_herd(n, 64, width_div2, key, 0, rng)
-    px, py, d = jnp.asarray(px), jnp.asarray(py), jnp.asarray(d)
-
-    base = [
-        np.asarray(x) for x in jump_ref.jump_steps_with_dp(
-            px, py, d, jx, jy, jd, masks, nb_run=nb_run, inv_stop=64
-        )
-    ]
-    assert base[3].sum() > 0
-    if dp_size == 2:
-        assert base[3].max() > 2  # slot overflow exercised
-    saved = jump_pallas.RADIX13
-    jump_pallas.RADIX13 = True
-    jax.clear_caches()
-    try:
-        got = [
-            np.asarray(x) for x in jump_pallas.jump_steps_with_dp(
-                px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=n,
-                interpret=True,
-            )
-        ]
-    finally:
-        jump_pallas.RADIX13 = saved
-        jax.clear_caches()
-    names = ["px", "py", "d", "count", "dpx", "dpd", "dp_step"]
-    for name, want, g in zip(names, base, got):
-        if name == "py":
-            want = np.asarray(field.canonicalize(jnp.asarray(want)))
-        np.testing.assert_array_equal(g, want, err_msg=name)
-
-
-def test_radix13_walk_lockstep_symmetry():
-    """KT_RADIX13 symmetry mode: class decisions, signed distances and
-    symclass flips match the XLA reference walk bit-for-bit."""
-    n = 128
-    nb_run = 12
-    jt = create_jump_table(48, symmetry=True)
-    jx, jy, jd = (jnp.asarray(x) for x in jt.as_arrays())
-    masks = jnp.asarray(jump_ref.dp_limb_masks(5))
-    rng = MT19937(777)
-    width_div2 = ((1 << 48) - 1) >> 1
-    key = curve.mul(0xABCDEF)
-    px, py, d = herd_mod.create_herd(
-        n, 48, width_div2, key, 0, rng, symmetry=True
-    )
-    px, py, d = jnp.asarray(px), jnp.asarray(py), jnp.asarray(d)
-    base = [
-        np.asarray(x) for x in jump_ref.jump_steps_with_dp(
-            px, py, d, jx, jy, jd, masks, nb_run=nb_run, inv_stop=32,
-            symmetry=True,
-        )
-    ]
-    saved = jump_pallas.RADIX13
-    jump_pallas.RADIX13 = True
-    jax.clear_caches()
-    try:
-        got = [
-            np.asarray(x) for x in jump_pallas.jump_steps_with_dp(
-                px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=n,
-                interpret=True, symmetry=True,
-            )
-        ]
-    finally:
-        jump_pallas.RADIX13 = saved
-        jax.clear_caches()
-    names = ["px", "py", "d", "count", "dpx", "dpd", "dp_step",
-             "symclass"]
-    for name, want, g in zip(names, base, got):
-        if name == "py":
-            want = np.asarray(field.canonicalize(jnp.asarray(want)))
         np.testing.assert_array_equal(g, want, err_msg=name)
