@@ -214,21 +214,19 @@ def _jump_kernel_body(
             # one concat per carried array instead of one per mulmod)
             dx = field.submod(qx, px)
             inv = field.batch_inv(dx, stop=min(INV_STOP, n))
-            xs, ys = [], []
-            for j in range(0, n, WALKW):
-                sl = slice(j, j + WALKW)
-                lam = field.mulmod(
-                    field.submod(qy[:, sl], py[:, sl]), inv[:, sl]
-                )
+
+            def tail(pyc, invc, pxc, qxc, qyc):
+                lam = field.mulmod(field.submod(qyc, pyc), invc)
                 xc = field.canonicalize(
-                    field.sqrmod(lam, sub=(px[:, sl], qx[:, sl]))
+                    field.sqrmod(lam, sub=(pxc, qxc))
                 )
-                ys.append(field.mulmod(
-                    lam, field.submod(qx[:, sl], xc), sub=(qy[:, sl],)
-                ))
-                xs.append(xc)
-            x3 = jnp.concatenate(xs, axis=1)
-            y3 = jnp.concatenate(ys, axis=1)
+                yc = field.mulmod(
+                    lam, field.submod(qxc, xc), sub=(qyc,)
+                )
+                return jnp.concatenate([xc, yc], axis=0)  # (32, W)
+
+            xy = field._lane_chunks(WALKW, tail)(py, inv, px, qx, qy)
+            x3, y3 = xy[:16], xy[16:]
         else:
             x3, y3 = jump_ref_mod.affine_add_walk(
                 px, py, qx, qy, inv_stop=min(INV_STOP, n)
