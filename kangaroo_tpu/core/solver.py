@@ -177,8 +177,12 @@ class KangarooSolver:
 
     # Host-side cost of one DP (decode + table insert + relay
     # transfer), measured on this stack: ~4.4 us compute + ~17 us
-    # transfer/dispatch through the remote-device relay.
-    DP_HOST_COST = 20e-6
+    # Host cost per drained DP.  The round-1/2 value was 20 us (Python
+    # dict insert + per-item bignum decode); the native C++ table with
+    # the vectorized numpy drain packing brought it to ~1 us (insert
+    # 0.3 us + decode/packing share + amortized transfer), which pulls
+    # the balanced dp back toward the reference suggestion.
+    DP_HOST_COST = 1e-6
 
     def balanced_dp(self, nb_kangaroo: int, rate: Optional[float] = None,
                     suggested: Optional[int] = None,
@@ -186,17 +190,16 @@ class KangarooSolver:
         """Auto-DP with the host drain in the cost model.
 
         The reference minimizes expected ops alone (its hash insert is
-        ~100 ns, Kangaroo.cpp:980-996); here every DP costs ~20 us of
-        host/relay work, so small ranges with small dp become
-        drain-bound (measured: 56-bit at suggested dp 7 ran at 6 MK/s
-        against an 88 MK/s kernel).  Minimize
+        ~100 ns, Kangaroo.cpp:980-996); here every DP also pays the
+        vectorized drain path, so small ranges with small dp can become
+        drain-bound.  Minimize
             T(dp) = expected_ops(dp) * (1/rate + dp_cost / 2^dp)
         over dp >= the reference suggestion.
         """
         if rate is None:
             import jax
 
-            rate = 9e7 if jax.devices()[0].platform == "tpu" else 3.5e6
+            rate = 1.5e8 if jax.devices()[0].platform == "tpu" else 3.5e6
         s = self.suggest_dp(nb_kangaroo) if suggested is None else suggested
         best, best_t = s, None
         for dp in range(s, min(s + 24, 65)):
@@ -240,19 +243,23 @@ class KangarooSolver:
             opts.nb_run = max(64, min(1024, 1 << max(0, dp_size - 3)))
         kw = opts.windows_per_tick
         if kw == 0:
-            # auto: extend the desired 2^(dp-3) window past the
-            # per-window cap by fusing whole windows into one dispatch
-            # (slot budget is per window, so overflow odds are
-            # unchanged).  Only when the window itself was auto: an
-            # explicit -nbrun pins the dispatch granularity too.
+            # auto: fuse whole windows into one dispatch until it
+            # carries ~4096 steps (the slot budget is per window, so
+            # overflow odds are unchanged; stacked slots live in HBM).
+            # Rationale: each tick pays ~0.5-0.6 s of host/relay round
+            # trips regardless of size (measured on the 56-bit solve:
+            # 67 MK/s wall vs 153 MK/s kernel at 512-step dispatches),
+            # so the dispatch must carry seconds of kernel work.  Only
+            # when the window itself was auto: an explicit -nbrun pins
+            # the dispatch granularity too.
             if auto_window:
-                kw = max(1, min(8, (1 << max(0, dp_size - 3)) // opts.nb_run))
+                kw = max(1, min(8, 4096 // opts.nb_run))
             else:
                 kw = 1
         # capture slots from the expected hits per lane per window
         # (Poisson tail beyond the slots is counted and reported lost)
         lam = opts.nb_run / float(1 << dp_size)
-        if lam <= 0.125:
+        if lam < 0.125:
             n_slots = 2
         elif lam <= 0.5:
             n_slots = 4
@@ -514,9 +521,14 @@ class KangarooSolver:
                 return
             px, py, d = self._reset_lanes(px, py, d, resets, rng)
             if opts.symmetry:
-                lanes_a = jnp.asarray(
-                    np.array([l for l, _ in resets], dtype=np.int32)
-                )
+                # same bucket padding as _reset_lanes (fixed scatter
+                # shapes; duplicate writes of 0 are idempotent)
+                lanes = [l for l, _ in resets]
+                bucket = 8
+                while bucket < len(lanes):
+                    bucket *= 2
+                lanes += [lanes[-1]] * (bucket - len(lanes))
+                lanes_a = jnp.asarray(np.array(lanes, dtype=np.int32))
                 symclass = symclass.at[lanes_a].set(jnp.uint32(0))
 
         _wd2 = self.width_div2
@@ -860,6 +872,14 @@ class KangarooSolver:
         dispatch and ONE scatter per array instead of a full-array
         update per dead kangaroo (which serialized against the
         pipelined ticks at high dead rates).
+
+        Shapes are padded to a small set of bucket sizes: the scalar
+        mult and the scatter are jitted per shape, and reset batches of
+        1, 2, 3... lanes each cost a fresh multi-minute compile through
+        the remote compile service otherwise (measured on the 56-bit
+        solve: the wall rate halved whenever a new dead-count appeared).
+        Pad columns repeat the last real lane/values, so the duplicate
+        scatter writes are idempotent.
         """
         sym = self.opts.symmetry
         dists, types, lanes = [], [], []
@@ -870,6 +890,14 @@ class KangarooSolver:
             )[0])
             types.append(ktype)
             lanes.append(lane)
+        m = len(lanes)
+        bucket = 8
+        while bucket < m:
+            bucket *= 2
+        pad = bucket - m
+        dists += [dists[-1]] * pad
+        types += [types[-1]] * pad
+        lanes += [lanes[-1]] * pad
         npx, npy, nd = herd_mod.herd_from_distances(
             dists, np.array(types, dtype=np.uint32), self.width_div2,
             self.key_to_search, symmetry=sym,

@@ -3,9 +3,14 @@ compare the measured average ops against the 2.08*sqrt(N) kangaroo
 model (the reference's statistical oracle over in40_1000-style
 batches, Kangaroo.cpp:1010-1076).
 
-Usage: python scripts/stats_batch.py <config> [nk_log2] [dp]
+Usage: python scripts/stats_batch.py <config> [nk_log2] [dp] [nbrun] [kw]
 Prints one line per key and a final summary with avg ops / sqrt(N),
 the dead-kangaroo rate, and wall rates.
+
+NB: ops resolution is one tick = nk * nbrun * kw jumps, and the
+pipelined solve checks collisions ~3 ticks deep, so meaningful
+statistics need tick sizes well below sqrt(N) -- force small nk/nbrun
+(e.g. `stats_batch.py fixtures/in40_20.txt 12 5 64 1`).
 """
 
 from __future__ import annotations
@@ -21,6 +26,8 @@ def main():
     cfg_path = sys.argv[1]
     nk = 1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     dp = int(sys.argv[3]) if len(sys.argv) > 3 else -1
+    nbrun = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    kw = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     from kangaroo_tpu.cli import enable_compile_cache
 
@@ -32,7 +39,8 @@ def main():
     cfg = parse_config_file(cfg_path)
     n_range = cfg.range_end - cfg.range_start + 1
     sqrt_n = math.sqrt(n_range)
-    opts = SolverOptions(nb_kangaroo=nk, dp_size=dp, nb_run=0)
+    opts = SolverOptions(nb_kangaroo=nk, dp_size=dp, nb_run=nbrun,
+                         windows_per_tick=kw)
     solver = KangarooSolver(cfg, opts)
 
     counts, deads, times = [], [], []
