@@ -489,16 +489,14 @@ def chunking():
         CHUNK_ACTIVE = saved
 
 
-# Loop-chunk mode (KT_CHUNKLOOP=1): run the chunk sweep as a
-# lax.fori_loop with dynamic lane slices instead of a Python-unrolled
-# loop + concat.  The unrolled form duplicates the ~500-op mulmod body
-# per chunk (~1500 bodies per step at block 32768), which costs
-# minutes of Mosaic compile time per kernel configuration; the loop
-# form keeps code size constant in the block size.  Requires Mosaic
-# support for dynamic lane-dim slices at chunk-aligned offsets.
-CHUNK_LOOP = __import__("os").environ.get("KT_CHUNKLOOP", "0") == "1"
-# loop only when it saves real code size; tiny sweeps stay unrolled
-_CHUNK_LOOP_MIN = 4
+# NB on code size: the unrolled chunk sweep duplicates the ~500-op
+# mulmod body per chunk (~1500 bodies per step at block 32768), which
+# costs minutes of Mosaic compile per kernel configuration -- a
+# one-time cost behind the persistent XLA cache.  A lax.fori_loop
+# formulation with value-level dynamic slices does NOT lower (Mosaic
+# has no dynamic_update_slice for values, measured 2026-08-19); a
+# ref-based rewrite (3D scratch, dynamic leading index -- verified
+# supported) is possible if bigger blocks ever justify it.
 
 
 def _lane_chunks(w: int, fn):
@@ -507,24 +505,6 @@ def _lane_chunks(w: int, fn):
         n = arrs[0].shape[1]
         if not w or n <= w or n % w:
             return fn(*arrs)
-        if CHUNK_LOOP and n // w >= _CHUNK_LOOP_MIN:
-            out0 = fn(*(x[:, :w] for x in arrs))
-            buf = jnp.zeros((out0.shape[0], n), out0.dtype)
-            buf = jax.lax.dynamic_update_slice(buf, out0, (0, 0))
-
-            def body(j, buf):
-                start = j * w
-                args = [
-                    jax.lax.dynamic_slice(
-                        x, (0, start), (x.shape[0], w)
-                    )
-                    for x in arrs
-                ]
-                return jax.lax.dynamic_update_slice(
-                    buf, fn(*args), (0, start)
-                )
-
-            return jax.lax.fori_loop(1, n // w, body, buf)
         parts = [
             fn(*(x[:, j:j + w] for x in arrs)) for j in range(0, n, w)
         ]

@@ -341,9 +341,10 @@ def jump_steps_with_dp(
     kw = {}
     if not interpret:
         # the default Mosaic VMEM budget rejects blocks >= 8192 lanes;
-        # the working set fits comfortably under an explicit cap
+        # the working set fits under an explicit cap near the v5e's
+        # 128 MiB of VMEM (a 65536-lane block measures 115.9 MiB)
         kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=124 * 1024 * 1024
         )
     opx, opy, od, osc, cnt, dpx, dpd, dstep = pl.pallas_call(
         kernel,
