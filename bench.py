@@ -69,7 +69,9 @@ def main() -> None:
     from kangaroo_tpu.ops import jump_ref
 
     n = 1 << 19 if on_tpu else 1 << 12
-    nb_run = 128 if on_tpu else 8
+    # 512-step windows: matches the production auto-window dispatch
+    # depth and measured +2.3% over 128 (hw_evidence/sweep_r03.txt)
+    nb_run = 512 if on_tpu else 8
     reps = 3 if on_tpu else 2
 
     range_power = 64
