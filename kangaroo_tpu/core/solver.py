@@ -177,12 +177,14 @@ class KangarooSolver:
 
     # Host-side cost of one DP (decode + table insert + relay
     # transfer), measured on this stack: ~4.4 us compute + ~17 us
-    # Host cost per drained DP.  The round-1/2 value was 20 us (Python
-    # dict insert + per-item bignum decode); the native C++ table with
-    # the vectorized numpy drain packing brought it to ~1 us (insert
-    # 0.3 us + decode/packing share + amortized transfer), which pulls
-    # the balanced dp back toward the reference suggestion.
-    DP_HOST_COST = 1e-6
+    # Host cost per drained DP.  The compute side is ~1 us (native
+    # table insert 0.3 us + vectorized packing), but each gathered DP
+    # also ships ~40 packed bytes through the device link; through the
+    # axon relay that transfer measures ~5-8 us/DP (the 56-bit solve
+    # at dp 10 moved ~20 MB/tick and walked at 43 MK/s against a 156
+    # MK/s kernel before this was priced in).  Co-located deployments
+    # can pass dp_cost=1e-6.
+    DP_HOST_COST = 8e-6
 
     def balanced_dp(self, nb_kangaroo: int, rate: Optional[float] = None,
                     suggested: Optional[int] = None,
@@ -459,11 +461,15 @@ class KangarooSolver:
                 dp_step = jnp.moveaxis(dp_step, 0, 1).reshape(
                     n_slots, kw * n
                 )
-            return (
-                jnp.take(dpx[:, :10], hit_idx, axis=2),
-                jnp.take(dpd, hit_idx, axis=2),
-                jnp.take(dp_step, hit_idx, axis=1),
-            )
+            xg = jnp.take(dpx[:, :10], hit_idx, axis=2)
+            dg = jnp.take(dpd, hit_idx, axis=2)
+            sg = jnp.take(dp_step, hit_idx, axis=1)
+            # halve the device->host payload: the limb rows hold 16-bit
+            # values in u32 lanes, so pack row pairs before transfer
+            # (the relay link prices the solve at high DP rates)
+            xp = xg[:, 0::2] | (xg[:, 1::2] << 16)   # (slots, 5, P)
+            dp2 = dg[:, 0::2] | (dg[:, 1::2] << 16)  # (slots, 4, P)
+            return xp, dp2, sg.astype(jnp.uint16)    # steps < nb_run
 
         def enqueue_pull(pend):
             """Stage 2: read a tick's DP counts, enqueue hit-lane gathers.
@@ -495,7 +501,11 @@ class KangarooSolver:
             return count_np, hits, chunks
 
         def read_pull(flight):
-            """Stage 3 transfer: bring the gathered hit slots to host."""
+            """Stage 3 transfer: bring the gathered hit slots to host.
+
+            The device packed 16-bit limb rows pairwise into u32 lanes
+            (and steps into u16); unpack vectorized here.
+            """
             count_np, hits, chunks = flight
             xs, ds, ss = [], [], []
             for m, dpx_g, dpd_g, step_g in chunks:
@@ -504,9 +514,20 @@ class KangarooSolver:
                         np.asarray(a), np.asarray(b), np.asarray(c)
                     )
                 )
-                xs.append(got[0][:, :, :m])
-                ds.append(got[1][:, :, :m])
-                ss.append(got[2][:, :m])
+                xp, dp2, sg = got
+                x = np.empty(
+                    (xp.shape[0], 10, xp.shape[2]), dtype=np.uint32
+                )
+                x[:, 0::2] = xp & np.uint32(0xFFFF)
+                x[:, 1::2] = xp >> np.uint32(16)
+                dd = np.empty(
+                    (dp2.shape[0], 8, dp2.shape[2]), dtype=np.uint32
+                )
+                dd[:, 0::2] = dp2 & np.uint32(0xFFFF)
+                dd[:, 1::2] = dp2 >> np.uint32(16)
+                xs.append(x[:, :, :m])
+                ds.append(dd[:, :, :m])
+                ss.append(sg[:, :m].astype(np.uint32))
             return (
                 count_np, hits,
                 np.concatenate(xs, axis=2),

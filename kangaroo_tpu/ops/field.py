@@ -494,9 +494,15 @@ def chunking():
 # costs minutes of Mosaic compile per kernel configuration -- a
 # one-time cost behind the persistent XLA cache.  A lax.fori_loop
 # formulation with value-level dynamic slices does NOT lower (Mosaic
-# has no dynamic_update_slice for values, measured 2026-08-19); a
-# ref-based rewrite (3D scratch, dynamic leading index -- verified
-# supported) is possible if bigger blocks ever justify it.
+# has no dynamic_update_slice for values, measured 2026-08-19); the
+# ref-based CHUNK_RUNNER below (VMEM staging scratch + dynamic lane
+# slices on refs) is the supported loop form.
+
+# Pluggable loop-chunk runner, installed by the Pallas kernel when it
+# has staging scratch available: (w, fn, arrs) -> stacked result.
+# Runs the chunk sweep as ONE traced body inside a lax.fori_loop
+# instead of unrolling fn per chunk.
+CHUNK_RUNNER = None
 
 
 def _lane_chunks(w: int, fn):
@@ -505,6 +511,10 @@ def _lane_chunks(w: int, fn):
         n = arrs[0].shape[1]
         if not w or n <= w or n % w:
             return fn(*arrs)
+        if CHUNK_RUNNER is not None and n // w >= 4:
+            out = CHUNK_RUNNER(w, fn, arrs)
+            if out is not None:
+                return out
         parts = [
             fn(*(x[:, j:j + w] for x in arrs)) for j in range(0, n, w)
         ]

@@ -38,11 +38,12 @@ from .jump_ref import is_dp
 # Lanes per kernel block.  State + DP slots are ~260 B/lane and the
 # chunked mul/walk paths (MUL_CHUNK/WALKW) keep temporaries at chunk
 # width, so big blocks fit VMEM easily and amortize the per-grid-step
-# fixed costs (slot init, pipeline bubbles).  DEFAULT 32768: the v5e
-# sweep scaled 4096 -> 8192 -> 16384 -> 32768 = 111 -> 126 -> 137 ->
-# 151 MK/s (hw_evidence/sweep_r03.txt); 65536 with 128 unrolled walk
-# chunks blew up Mosaic compile time.
-DEFAULT_BLOCK = int(__import__("os").environ.get("KT_BLOCK", "32768"))
+# fixed costs (slot init, pipeline bubbles).  DEFAULT 65536: the v5e
+# sweep scaled 4096 -> 8192 -> 16384 -> 32768 -> 65536 = 111 -> 126 ->
+# 137 -> 151 -> 156-158 MK/s (hw_evidence/sweep_r03.txt; 65536 needs
+# the 124 MiB VMEM cap below and a ~25-min first compile, one-time
+# behind the persistent cache).
+DEFAULT_BLOCK = int(__import__("os").environ.get("KT_BLOCK", "65536"))
 # Fold the inversion tree down to this many lanes before divstep.
 INV_STOP = int(__import__("os").environ.get("KT_INVSTOP", "128"))
 # Lane-chunk width for the walk tail (lam/x3/y3) after the shared
@@ -58,6 +59,21 @@ WALKW = int(__import__("os").environ.get("KT_WALKW", "512"))
 # are attributed under real register/VMEM pressure (isolated-harness
 # deltas proved misleading).  Empty in production.
 _PROBE = __import__("os").environ.get("KT_PROBE", "")
+# Loop-chunk runner (KT_LOOPCHUNK=1): run every chunk sweep (walk tail
+# and the inversion tree's wide mulmods) as ONE traced body inside a
+# lax.fori_loop, staging operands through VMEM scratch and reading
+# chunks back via dynamic lane-dim ref slices (the Mosaic-supported
+# loop form -- value-level dynamic_update_slice does not lower).
+# MEASURED (v5e, blk 32768, nbrun 512): compile 138 s vs ~8-10 min
+# unrolled, but 117.5 vs 156.1 MK/s -- the sequential loop loses the
+# cross-chunk load/compute overlap Mosaic gets from unrolled code.
+# Default OFF: a fast-compile development mode (sweeps, smoke tests on
+# fresh configs), not a production path.  Bit-identical
+# (lockstep-tested).  Possible recovery: lax.scan(unroll=4) to give
+# the scheduler a 4-chunk window -- unmeasured.
+LOOPCHUNK = __import__("os").environ.get("KT_LOOPCHUNK", "0") == "1"
+_POOL_IN_ROWS = 80    # walk tail stages 5 x 16-row operands
+_POOL_OUT_ROWS = 32   # walk tail returns x3|y3 stacked
 # Measured-and-rejected kernel variants (code in git history, numbers
 # in hw_evidence/sweep_r03.txt and ROUND_NOTES.md):
 # - KT_SPLITS (independent sub-herd pipelines for ILP): 79.2/57.8 vs
@@ -152,24 +168,82 @@ def _gather_onehot(jmp: jnp.ndarray, tbl: jnp.ndarray) -> jnp.ndarray:
     return lo_u | (hi_u << 8)
 
 
+def _make_chunk_runner(s_in, s_out):
+    """field.CHUNK_RUNNER backed by the kernel's staging scratch.
+
+    Stages the operands into s_in (one whole-array store each), runs
+    chunk 0 unrolled (it fixes the output row count), then sweeps the
+    remaining chunks in a lax.fori_loop reading/writing dynamic
+    lane-dim ref slices.  Returns None (caller falls back to the
+    unrolled sweep) for nested invocations -- the scratch holds the
+    outer sweep's data -- and for shapes beyond the pool.
+    """
+    state = {"busy": False}
+
+    def runner(w, fn, arrs):
+        n = arrs[0].shape[1]
+        rows = [a.shape[0] for a in arrs]
+        if (
+            state["busy"]
+            or sum(rows) > s_in.shape[0]
+            or n > s_in.shape[1]
+        ):
+            return None
+        state["busy"] = True
+        try:
+            off = 0
+            for a in arrs:
+                s_in[off:off + a.shape[0], :n] = a
+                off += a.shape[0]
+            out0 = fn(*(a[:, :w] for a in arrs))
+            orows = out0.shape[0]
+            if orows > s_out.shape[0]:
+                return None
+            s_out[:orows, :w] = out0
+
+            def body(j, _):
+                start = j * w
+                args = []
+                o = 0
+                for r in rows:
+                    args.append(s_in[o:o + r, pl.ds(start, w)])
+                    o += r
+                s_out[:orows, pl.ds(start, w)] = fn(*args)
+                return 0
+
+            jax.lax.fori_loop(1, n // w, body, 0)
+            return s_out[:orows, :n]
+        finally:
+            state["busy"] = False
+
+    return runner
+
+
 def _jump_kernel(
     jx_ref, jy_ref, jd_ref, mask_ref,
     px_ref, py_ref, d_ref, sc_ref,
     opx_ref, opy_ref, od_ref, osc_ref,
     cnt_ref, dpx_ref, dpd_ref, step_ref,
-    *, nb_run: int, symmetry: bool, slots: int,
+    *scratch,
+    nb_run: int, symmetry: bool, slots: int,
 ):
     # lane-chunked mulmod/sqrmod only pays with VMEM-resident chunk
     # intermediates, i.e. here; the context activates it for exactly
     # this trace (the XLA paths would explode into thousands of HLO ops)
-    with field.chunking():
-        _jump_kernel_body(
-            jx_ref, jy_ref, jd_ref, mask_ref,
-            px_ref, py_ref, d_ref, sc_ref,
-            opx_ref, opy_ref, od_ref, osc_ref,
-            cnt_ref, dpx_ref, dpd_ref, step_ref,
-            nb_run=nb_run, symmetry=symmetry, slots=slots,
-        )
+    saved_runner = field.CHUNK_RUNNER
+    if scratch:
+        field.CHUNK_RUNNER = _make_chunk_runner(*scratch)
+    try:
+        with field.chunking():
+            _jump_kernel_body(
+                jx_ref, jy_ref, jd_ref, mask_ref,
+                px_ref, py_ref, d_ref, sc_ref,
+                opx_ref, opy_ref, od_ref, osc_ref,
+                cnt_ref, dpx_ref, dpd_ref, step_ref,
+                nb_run=nb_run, symmetry=symmetry, slots=slots,
+            )
+    finally:
+        field.CHUNK_RUNNER = saved_runner
 
 
 def _jump_kernel_body(
@@ -298,6 +372,14 @@ def jump_steps_with_dp(
     n = px.shape[1]
     if symclass is None:
         symclass = jnp.zeros((n,), dtype=jnp.uint32)
+    if block == DEFAULT_BLOCK and block > 32768 and (
+        slots > 2 or symmetry
+    ):
+        # 65536-lane blocks fit VMEM only in the plain 2-slot geometry
+        # (measured: slots 4 demands 182.6 MiB, symmetry 178.0 MiB vs
+        # the chip's 128); those configurations drop to 32768 (-1%
+        # kernel rate).  An explicit `block` argument wins.
+        block = 32768
     blk = min(block, n)
     assert n % blk == 0, "herd size must be a multiple of the block size"
     grid = (n // blk,)
@@ -339,6 +421,11 @@ def jump_steps_with_dp(
         _jump_kernel, nb_run=nb_run, symmetry=symmetry, slots=slots,
     )
     kw = {}
+    if LOOPCHUNK:
+        kw["scratch_shapes"] = [
+            pltpu.VMEM((_POOL_IN_ROWS, blk), jnp.uint32),
+            pltpu.VMEM((_POOL_OUT_ROWS, blk), jnp.uint32),
+        ]
     if not interpret:
         # the default Mosaic VMEM budget rejects blocks >= 8192 lanes;
         # the working set fits under an explicit cap near the v5e's
