@@ -72,8 +72,8 @@ _PROBE = __import__("os").environ.get("KT_PROBE", "")
 # (lockstep-tested).  Possible recovery: lax.scan(unroll=4) to give
 # the scheduler a 4-chunk window -- unmeasured.
 LOOPCHUNK = __import__("os").environ.get("KT_LOOPCHUNK", "0") == "1"
-_POOL_IN_ROWS = 80    # walk tail stages 5 x 16-row operands
-_POOL_OUT_ROWS = 32   # walk tail returns x3|y3 stacked
+_POOL_IN_ROWS = 104   # sym walk tail stages 5x16 + 2x8 + 1 rows
+_POOL_OUT_ROWS = 48   # sym walk tail returns x3|y3|d|sc stacked (41)
 # Measured-and-rejected kernel variants (code in git history, numbers
 # in hw_evidence/sweep_r03.txt and ROUND_NOTES.md):
 # - KT_SPLITS (independent sub-herd pipelines for ILP): 79.2/57.8 vs
@@ -282,6 +282,7 @@ def _jump_kernel_body(
         q = _gather_onehot(jmp, jtbl)
         qx, qy, qd = q[:16], q[16:32], q[32:40]
 
+        sym_done = False
         if WALKW and n > WALKW and n % WALKW == 0:
             # shared batched inversion, then the elementwise walk tail
             # in WALKW-lane chunks (chunk intermediates stay resident;
@@ -289,34 +290,72 @@ def _jump_kernel_body(
             dx = field.submod(qx, px)
             inv = field.batch_inv(dx, stop=min(INV_STOP, n))
 
-            def tail(pyc, invc, pxc, qxc, qyc):
-                lam = field.mulmod(field.submod(qyc, pyc), invc)
-                xc = field.canonicalize(
-                    field.sqrmod(lam, sub=(pxc, qxc))
-                )
-                yc = field.mulmod(
-                    lam, field.submod(qxc, xc), sub=(qyc,)
-                )
-                return jnp.concatenate([xc, yc], axis=0)  # (32, W)
+            if symmetry and not _PROBE:
+                # fold the distance add AND the equivalence-class
+                # normalization (Kangaroo.cpp:422-428) into the chunked
+                # tail: the sym flip is elementwise in lanes, and
+                # running it at full block width kept ~15 (16, N)
+                # intermediates live -- measured 178.0 MiB at block
+                # 65536 vs the 124 MiB VMEM cap, forcing sym runs down
+                # to 32768.  Chunked, the sym geometry matches plain.
+                def tail(pyc, invc, pxc, qxc, qyc, dc, qdc):
+                    lam = field.mulmod(field.submod(qyc, pyc), invc)
+                    xc = field.canonicalize(
+                        field.sqrmod(lam, sub=(pxc, qxc))
+                    )
+                    yc = field.mulmod(
+                        lam, field.submod(qxc, xc), sub=(qyc,)
+                    )
+                    dc = field.add_u128(dc, qdc)
+                    ycan = field.canonicalize(yc)
+                    high = field.y_is_high(ycan)
+                    sel = (high == 1)[None, :]
+                    yc = jnp.where(sel, field.neg_y(ycan), ycan)
+                    dc = jnp.where(sel, field.neg_u128(dc), dc)
+                    # pad the class-flip row to a full sublane tile:
+                    # every concat piece is then 8-row aligned
+                    return jnp.concatenate(
+                        [xc, yc, dc, field._fit(high[None, :], 8)],
+                        axis=0,
+                    )  # (48, W)
 
-            xy = field._lane_chunks(WALKW, tail)(py, inv, px, qx, qy)
-            x3, y3 = xy[:16], xy[16:]
+                out = field._lane_chunks(WALKW, tail)(
+                    py, inv, px, qx, qy, d, qd
+                )
+                px, py = out[:16], out[16:32]
+                d = out[32:40]
+                sc = sc ^ out[40]
+                sym_done = True
+            else:
+                def tail(pyc, invc, pxc, qxc, qyc):
+                    lam = field.mulmod(field.submod(qyc, pyc), invc)
+                    xc = field.canonicalize(
+                        field.sqrmod(lam, sub=(pxc, qxc))
+                    )
+                    yc = field.mulmod(
+                        lam, field.submod(qxc, xc), sub=(qyc,)
+                    )
+                    return jnp.concatenate([xc, yc], axis=0)  # (32, W)
+
+                xy = field._lane_chunks(WALKW, tail)(py, inv, px, qx, qy)
+                x3, y3 = xy[:16], xy[16:]
         else:
             x3, y3 = jump_ref_mod.affine_add_walk(
                 px, py, qx, qy, inv_stop=min(INV_STOP, n)
             )
-        d = field.add_u128(d, qd)
-        px, py = x3, y3
-        if _PROBE:
-            py = _probe_extra(px, py, qx, qy)
-        if symmetry:
-            # equivalence-class normalization (Kangaroo.cpp:422-428)
-            pyc = field.canonicalize(py)
-            high = field.y_is_high(pyc)
-            sel = (high == 1)[None, :]
-            py = jnp.where(sel, field.neg_y(pyc), pyc)
-            d = jnp.where(sel, field.neg_u128(d), d)
-            sc = sc ^ high
+        if not sym_done:
+            d = field.add_u128(d, qd)
+            px, py = x3, y3
+            if _PROBE:
+                py = _probe_extra(px, py, qx, qy)
+            if symmetry:
+                # equivalence-class normalization (Kangaroo.cpp:422-428)
+                pyc = field.canonicalize(py)
+                high = field.y_is_high(pyc)
+                sel = (high == 1)[None, :]
+                py = jnp.where(sel, field.neg_y(pyc), pyc)
+                d = jnp.where(sel, field.neg_u128(d), d)
+                sc = sc ^ high
 
         hit = is_dp(px, masks)
         for s in range(slots):
