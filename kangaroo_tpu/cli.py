@@ -31,6 +31,9 @@ def print_usage() -> None:
  -nwin k: Launch windows fused per device dispatch (default: auto;
        each dispatch costs a host round trip, fusing k windows
        divides that overhead by k)
+ -dpcost s: Host+transfer cost per drained DP in seconds used by the
+       auto-DP model (default ~8e-6 for relay-attached devices; pass
+       ~1e-6 when the accelerator is co-located with the host)
  -backend xla|pallas: Jump kernel backend (default pallas on TPU)
  -platform name: Force the JAX platform (e.g. cpu, tpu) before device
        init; use "-platform cpu" to run on hosts whose accelerator is
@@ -121,6 +124,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     nk = 1 << 18
     nb_run = 0  # auto
     nwin = 0    # auto
+    dp_cost = -1.0  # auto (stack default; -dpcost overrides)
     backend = ""
     n_devices = 0
     work_file = ""
@@ -152,6 +156,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             i += 1; nb_run = int(_arg(argv, i, a))
         elif a == "-nwin":
             i += 1; nwin = int(_arg(argv, i, a))
+        elif a == "-dpcost":
+            i += 1; dp_cost = float(_arg(argv, i, a))
         elif a == "-backend":
             i += 1; backend = _arg(argv, i, a)
         elif a == "-platform":
@@ -313,6 +319,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         dp_size=dp,
         nb_run=nb_run,
         windows_per_tick=nwin,
+        dp_cost=dp_cost,
         max_step=max_step,
         backend=backend,
         out_file=out_file,

@@ -45,6 +45,10 @@ from .jumptable import JumpTable, create_jump_table
 class SolverOptions:
     nb_kangaroo: int = 1 << 14     # herd lanes on device
     dp_size: int = -1              # -1: auto (suggested DP)
+    # Host+transfer cost per drained DP used by the auto-DP model
+    # (see KangarooSolver.DP_HOST_COST); co-located deployments where
+    # the relay tax vanishes should pass ~1e-6 (-dpcost on the CLI)
+    dp_cost: float = -1.0          # -1: stack default
     nb_run: int = 16               # jumps per device tick (0 = auto)
     max_step: float = 0.0          # abort after max_step*expected ops (0: never)
     seed: Optional[int] = None     # herd RNG seed (None: time seed)
@@ -99,12 +103,70 @@ class DeviceHangError(RuntimeError):
     """A host read of device results exceeded the watchdog timeout."""
 
 
+# Per-lane DP capture slots are bounded (VMEM rows scale with the slot
+# count); beyond this many the launch window is split instead.
+MAX_SLOTS = 8
+# Target probability of losing ANY DP in one launch window (summed
+# over all lanes).  The reference treats its output-ring overflow as an
+# operator warning (GPUEngine.cu:641-648); sizing the slots from the
+# Poisson tail makes loss a ~never event instead of a tuning accident.
+DP_LOSS_TARGET = 1e-4
+
+
+def poisson_tail(lam: float, k: int) -> float:
+    """P(Pois(lam) >= k), direct pmf sum (accurate for tiny tails where
+    1 - cdf would lose precision)."""
+    if lam <= 0.0:
+        return 0.0
+    if k <= 0:
+        return 1.0
+    logp = -lam + k * math.log(lam) - math.lgamma(k + 1)
+    term = math.exp(logp)
+    total = 0.0
+    for j in range(400):
+        total += term
+        term *= lam / (k + j + 1)
+        if term < total * 1e-12 + 1e-300:
+            break
+    return total
+
+
+def slots_for_window(nb_run: int, dp_size: int, n_lanes: int,
+                     target: float = DP_LOSS_TARGET) -> int:
+    """Smallest slot count s with n_lanes * P(Pois(lam) > s) <= target,
+    lam = nb_run / 2^dp (expected DP hits per lane per launch window).
+
+    Floor 2: the 2-slot geometry is the cheapest the kernel ships and
+    covers any sane window for free.
+    """
+    lam = nb_run / float(1 << dp_size)
+    s = 2
+    while n_lanes * poisson_tail(lam, s + 1) > target and s < 64:
+        s += 1
+    return s
+
+
 class KangarooSolver:
     """Holds range/key state and drives the device herd."""
 
     def __init__(self, cfg: ProblemConfig, opts: SolverOptions):
         self.cfg = cfg
         self.opts = opts
+        # Herd lanes snap to the kernel's lane quantum, the same way the
+        # reference snaps its kangaroo census to the GPU grid geometry
+        # (GetGridSize/SetKangaroos, Kangaroo.cpp:946-961): blocks must
+        # tile the herd, so -nk rounds UP to a multiple of 128 (or to
+        # even, below 128, preserving the tame/wild lane parity split).
+        nk = opts.nb_kangaroo
+        q = 128 if nk >= 128 else 2
+        if nk % q:
+            opts.nb_kangaroo = nk + (q - nk % q)
+            if not opts.quiet:
+                print(
+                    f"Warning: -nk {nk} rounded up to "
+                    f"{opts.nb_kangaroo} (herd lanes snap to "
+                    f"multiples of {q})"
+                )
         self.hash_table = make_hash_table()
         self.stats = SolveStats()
         self.key_idx = 0
@@ -233,7 +295,11 @@ class KangarooSolver:
 
         dp_size = opts.dp_size
         if dp_size < 0:
-            dp_size = self.balanced_dp(opts.nb_kangaroo)
+            dp_size = self.balanced_dp(
+                opts.nb_kangaroo,
+                dp_cost=(opts.dp_cost if opts.dp_cost >= 0.0
+                         else self.DP_HOST_COST),
+            )
         self.dp_size = dp_size
         auto_window = opts.nb_run == 0
         if auto_window:
@@ -243,6 +309,33 @@ class KangarooSolver:
             # the window (tiny windows made the 56-bit solve
             # host-bound at 6 MK/s vs the 88 MK/s kernel)
             opts.nb_run = max(64, min(1024, 1 << max(0, dp_size - 3)))
+        # Capture slots sized so P(losing any DP in one window) <=
+        # DP_LOSS_TARGET over the Poisson tail of hits per lane; when
+        # the budget would exceed MAX_SLOTS (small dp => high hit
+        # rate), SPLIT the window instead -- fused dispatch below keeps
+        # the host round trips amortized.  (Round-3 sized slots from a
+        # coarse lam table and lost 40/166 DPs on the hardware solves.)
+        n_slots = slots_for_window(opts.nb_run, dp_size, opts.nb_kangaroo)
+        while n_slots > MAX_SLOTS and auto_window and opts.nb_run > 8:
+            opts.nb_run //= 2
+            n_slots = slots_for_window(
+                opts.nb_run, dp_size, opts.nb_kangaroo
+            )
+        if n_slots > MAX_SLOTS:
+            # explicit -nbrun pinned the window: cap and report the
+            # residual expected loss instead of silently dropping
+            n_slots = MAX_SLOTS
+            if not opts.quiet:
+                lam = opts.nb_run / float(1 << dp_size)
+                exp_loss = opts.nb_kangaroo * poisson_tail(
+                    lam, MAX_SLOTS + 1
+                )
+                print(
+                    f"Warning: DP capture slots capped at {MAX_SLOTS} "
+                    f"(expected ~{exp_loss:.2g} lost DPs per launch "
+                    f"window); lower -nbrun or raise -d to eliminate "
+                    f"loss"
+                )
         kw = opts.windows_per_tick
         if kw == 0:
             # auto: fuse whole windows into one dispatch until it
@@ -253,22 +346,17 @@ class KangarooSolver:
             # 67 MK/s wall vs 153 MK/s kernel at 512-step dispatches),
             # so the dispatch must carry seconds of kernel work.  Only
             # when the window itself was auto: an explicit -nbrun pins
-            # the dispatch granularity too.
+            # the dispatch granularity too.  The stacked DP slots of a
+            # fused dispatch live in HBM until drained: bound them to
+            # ~2 GB so deep fusion of split windows cannot blow memory.
             if auto_window:
-                kw = max(1, min(8, 4096 // opts.nb_run))
+                kw = max(1, min(16, 4096 // opts.nb_run))
+                slot_bytes = (
+                    n_slots * 25 * 4 * opts.nb_kangaroo
+                )  # dpx 16 + dpd 8 + step 1 rows per slot
+                kw = max(1, min(kw, int(2e9 / max(1, slot_bytes))))
             else:
                 kw = 1
-        # capture slots from the expected hits per lane per window
-        # (Poisson tail beyond the slots is counted and reported lost)
-        lam = opts.nb_run / float(1 << dp_size)
-        if lam < 0.125:
-            n_slots = 2
-        elif lam <= 0.5:
-            n_slots = 4
-        elif lam <= 1.0:
-            n_slots = 6
-        else:
-            n_slots = 8
         self.stats.expected_ops, _, _ = self.compute_expected(
             float(dp_size), opts.nb_kangaroo
         )

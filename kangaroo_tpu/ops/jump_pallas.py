@@ -69,9 +69,13 @@ _PROBE = __import__("os").environ.get("KT_PROBE", "")
 # cross-chunk load/compute overlap Mosaic gets from unrolled code.
 # Default OFF: a fast-compile development mode (sweeps, smoke tests on
 # fresh configs), not a production path.  Bit-identical
-# (lockstep-tested).  Possible recovery: lax.scan(unroll=4) to give
-# the scheduler a 4-chunk window -- unmeasured.
+# (lockstep-tested).  KT_LOOPCHUNK_UNROLL=K unrolls K chunk bodies per
+# loop iteration (fori_loop unroll), giving the scheduler a K-chunk
+# overlap window at ~K/nchunks of the unrolled code size.
 LOOPCHUNK = __import__("os").environ.get("KT_LOOPCHUNK", "0") == "1"
+LOOPCHUNK_UNROLL = int(
+    __import__("os").environ.get("KT_LOOPCHUNK_UNROLL", "1")
+)
 _POOL_IN_ROWS = 104   # sym walk tail stages 5x16 + 2x8 + 1 rows
 _POOL_OUT_ROWS = 48   # sym walk tail returns x3|y3|d|sc stacked (41)
 # Measured-and-rejected kernel variants (code in git history, numbers
@@ -211,7 +215,11 @@ def _make_chunk_runner(s_in, s_out):
                 s_out[:orows, pl.ds(start, w)] = fn(*args)
                 return 0
 
-            jax.lax.fori_loop(1, n // w, body, 0)
+            jax.lax.fori_loop(
+                1, n // w, body, 0,
+                unroll=(LOOPCHUNK_UNROLL if LOOPCHUNK_UNROLL > 1
+                        else None),
+            )
             return s_out[:orows, :n]
         finally:
             state["busy"] = False
@@ -420,7 +428,15 @@ def jump_steps_with_dp(
         # kernel rate).  An explicit `block` argument wins.
         block = 32768
     blk = min(block, n)
-    assert n % blk == 0, "herd size must be a multiple of the block size"
+    # blocks must tile the herd: shrink to the largest divisor reachable
+    # by halving (handles e.g. n = 3 * 2^15 at the 2^16 default block)
+    while blk > 1 and n % blk:
+        blk //= 2
+    if n % blk or (blk < 128 and blk != n):
+        raise ValueError(
+            f"herd size {n} has no usable block tiling; use a "
+            f"multiple of 128 (the solver rounds -nk automatically)"
+        )
     grid = (n // blk,)
 
     state_spec = lambda rows: pl.BlockSpec(
