@@ -1,9 +1,19 @@
 """Headline benchmark: kangaroo jump throughput (MK/s == MJumps/s).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline anchor: the reference's single-V100 rate is ~1957 MK/s
 (7828.45 MK/s over 4 V100s, README.md:402); vs_baseline is measured
 single-chip MK/s divided by that per-GPU figure.
+
+The line carries all three first-class rates of the deliverable:
+  value            plain-mode kernel throughput at shipped defaults
+  sym_raw_mks /    the -sym equivalence-class walk: raw jumps/s and
+  sym_effective    raw * sqrt(2) (the walk needs sqrt(2) fewer expected
+                   ops; reference README.md:295-306, USE_SYMMETRY)
+  wall_mks         sustained end-to-end solve rate from the latest
+                   committed hardware transcript (hw_evidence/
+                   wall_rate.json, written by scripts/wallrate.py) --
+                   what a user actually gets, kernel + drain + host
 
 Run on whatever jax.devices() provides (one real TPU chip under the
 driver; CPU elsewhere).  Herd size and launch window auto-scale down on
@@ -128,12 +138,62 @@ def main() -> None:
 
     jumps = n * nb_run * reps
     mks = jumps / dt / 1e6
-    print(json.dumps({
+
+    line = {
         "metric": "jump_throughput",
         "value": round(mks, 3),
         "unit": "MK/s",
         "vs_baseline": round(mks / BASELINE_MKS, 4),
-    }))
+    }
+
+    # symmetry-mode rate (TPU only; plain stays the headline because
+    # -sym changes work-file compatibility and is operator-chosen,
+    # like the reference's USE_SYMMETRY compile flag)
+    if on_tpu:
+        try:
+            from kangaroo_tpu.core.jumptable import create_jump_table as _cjt
+            from kangaroo_tpu.ops import jump_pallas
+
+            jts = _cjt(range_power, symmetry=True)
+            sjx, sjy, sjd = (jnp.asarray(a) for a in jts.as_arrays())
+            sc = jnp.zeros((n,), dtype=jnp.uint32)
+
+            def sym_step(px, py, d, sc):
+                o = jump_pallas.jump_steps_with_dp(
+                    px, py, d, sjx, sjy, sjd, masks, nb_run=nb_run,
+                    symmetry=True, symclass=sc,
+                )
+                return o[0], o[1], o[2], o[7]
+
+            spx, spy, sd = px, py, d
+            spx, spy, sd, sc = sym_step(spx, spy, sd, sc)
+            barrier(spx)  # compile + drain
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                spx, spy, sd, sc = sym_step(spx, spy, sd, sc)
+            barrier(spx)
+            sdt = time.perf_counter() - t0
+            sym_raw = n * nb_run * reps / sdt / 1e6
+            line["sym_raw_mks"] = round(sym_raw, 3)
+            line["sym_effective_mks"] = round(sym_raw * 2.0 ** 0.5, 3)
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            line["sym_error"] = repr(e)[:200]
+
+    # sustained end-to-end wall rate from the latest committed solve
+    # transcript (scripts/wallrate.py writes hw_evidence/wall_rate.json)
+    try:
+        import os
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "hw_evidence", "wall_rate.json")) as f:
+            wall = json.load(f)
+        line["wall_mks"] = wall["wall_mks"]
+        line["wall_source"] = wall.get("source", "")
+        line["wall_lost_dps"] = wall.get("lost_dps", -1)
+    except Exception:
+        pass
+
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

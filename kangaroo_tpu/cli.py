@@ -281,7 +281,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             # LoadWork before RunServer, main.cpp:338-352)
             from .io.backup import load_work
 
-            lw = load_work(load_file)
+            lw = load_work(load_file, native=True)
             cfg = ProblemConfig(lw.range_start, lw.range_end, [lw.key])
             if dp < 0:
                 dp = lw.dp_size
@@ -304,12 +304,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             symmetry=symmetry,
         )
         if lw is not None:
-            from .core.hashtable import NativeHashTable
-
-            if isinstance(server.hash_table, NativeHashTable):
-                server.hash_table.absorb(lw.hash_table)
-            else:
-                server.hash_table = lw.hash_table
+            # load_work(native=True) already streamed the buckets into
+            # a native table; adopt it (no per-record absorb loop)
+            server.hash_table = lw.hash_table
             print(f"Loaded: {server.hash_table.n_items()} DPs")
         server.run()
         return 0
@@ -346,7 +343,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if load_file:
         from .io.backup import load_work
 
-        lw = load_work(load_file)
+        lw = load_work(load_file, native=True)
         if lw.symmetry != opts.symmetry:
             print(
                 f"{load_file}: work file was saved "
@@ -356,12 +353,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             return -1
         cfg = ProblemConfig(lw.range_start, lw.range_end, [lw.key])
         solver = KangarooSolver(cfg, opts)
-        from .core.hashtable import NativeHashTable
-
-        if isinstance(solver.hash_table, NativeHashTable):
-            solver.hash_table.absorb(lw.hash_table)
-        else:
-            solver.hash_table = lw.hash_table
+        # load_work(native=True) already streamed the buckets into a
+        # native table when available; adopt it directly
+        solver.hash_table = lw.hash_table
         solver.offset_count = lw.count
         solver.offset_time = lw.time
         solver.resumed = True

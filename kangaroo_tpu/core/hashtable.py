@@ -93,10 +93,6 @@ class HashTable:
             for x128 in sorted(bucket):
                 yield h, x128, bucket[x128]
 
-    def bucket_sorted(self, h: int):
-        bucket = self.buckets.get(h, {})
-        return [(x, bucket[x]) for x in sorted(bucket)]
-
     def stats(self):
         """(n_items, min, max, avg bucket sizes) over non-empty view."""
         from ..constants import HASH_SIZE
@@ -241,33 +237,51 @@ class NativeHashTable:
             assert k == n
         return bytes(buf)
 
-    def iter_sorted(self) -> Iterator[Tuple[int, int, int]]:
+    def export_arrays(self):
+        """All entries in file order as numpy columns (h, xlo, xhi,
+        dlo, dhi) -- u32/u64 halves of the 36-byte export records.
+        One vectorized pass; the basis for any bulk consumer."""
+        import numpy as np
+
         raw = self._export()
-        for i in range(len(raw) // 36):
-            o = 36 * i
-            yield (
-                int.from_bytes(raw[o:o + 4], "little"),
-                int.from_bytes(raw[o + 4:o + 20], "little"),
-                int.from_bytes(raw[o + 20:o + 36], "little"),
-            )
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 36)
+        h = a[:, 0:4].copy().view("<u4").ravel()
+        x = a[:, 4:20].copy().view("<u8")    # (n, 2) lo/hi
+        dd = a[:, 20:36].copy().view("<u8")  # (n, 2) lo/hi
+        return h, x[:, 0], x[:, 1], dd[:, 0], dd[:, 1]
 
-    def bucket_sorted(self, h: int):
-        return [(x, d) for hh, x, d in self.iter_sorted() if hh == h]
+    def iter_sorted(self) -> Iterator[Tuple[int, int, int]]:
+        h, xlo, xhi, dlo, dhi = self.export_arrays()
+        x = (xhi.astype(object) << 64) | xlo
+        d = (dhi.astype(object) << 64) | dlo
+        for i in range(len(h)):
+            yield int(h[i]), x[i], d[i]
 
-    #: records per absorb batch: bounds the transient packing buffer to
-    #: ~9 MB (a 10^7-DP resume used to build one ~360 MB bytes object)
-    ABSORB_CHUNK = 1 << 18
-
-    def absorb(self, ht: "HashTable") -> None:
-        """Bulk-load the contents of a Python-dict table (resume)."""
+    def absorb(self, ht) -> None:
+        """Bulk-load the contents of another table (dict or native)."""
+        if isinstance(ht, NativeHashTable):
+            raw = ht._export()
+            self.add_batch_raw(raw, len(raw) // 36)
+            return
+        # dict table: pack per bucket (sorted within, as file order)
         buf: list = []
-        for rec in ht.iter_sorted():
-            buf.append(self.pack_record(*rec))
-            if len(buf) >= self.ABSORB_CHUNK:
-                self.add_batch_raw(b"".join(buf), len(buf))
+        size = 0
+        for h in sorted(ht.buckets):
+            bucket = ht.buckets[h]
+            hb = int(h).to_bytes(4, "little")
+            for x128 in sorted(bucket):
+                buf.append(
+                    hb
+                    + int(x128).to_bytes(16, "little")
+                    + int(bucket[x128]).to_bytes(16, "little")
+                )
+            size += len(bucket)
+            if size >= (1 << 18):  # bound the transient buffer ~9 MB
+                self.add_batch_raw(b"".join(buf), size)
                 buf.clear()
-        if buf:
-            self.add_batch_raw(b"".join(buf), len(buf))
+                size = 0
+        if size:
+            self.add_batch_raw(b"".join(buf), size)
 
     def stats(self):
         import ctypes

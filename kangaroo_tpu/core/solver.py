@@ -478,12 +478,12 @@ class KangarooSolver:
         elif backend == "pallas":
             from ..ops import jump_pallas
 
-            block = min(jump_pallas.DEFAULT_BLOCK, n)
-
             def tick_fn(px, py, d, sc):
+                # block=None: the kernel picks the default with its
+                # VMEM-aware demotion (slots/symmetry geometry)
                 return jump_pallas.jump_steps_with_dp(
                     px, py, d, jx, jy, jd, dp_masks,
-                    nb_run=opts.nb_run, block=block,
+                    nb_run=opts.nb_run,
                     symmetry=opts.symmetry, symclass=sc, slots=n_slots,
                 )
         else:

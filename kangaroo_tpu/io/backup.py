@@ -249,9 +249,26 @@ def read_header(f, expect: Optional[int] = None) -> Tuple[int, int]:
     return head, version
 
 
-def load_work(path: str, load_kangaroos: bool = True) -> LoadedWork:
-    """Load a HEADW work file (reference: LoadWork, Backup.cpp:149-207)."""
+def load_work(
+    path: str, load_kangaroos: bool = True, native: bool = False
+) -> LoadedWork:
+    """Load a HEADW work file (reference: LoadWork, Backup.cpp:149-207).
+
+    With native=True the bucket region streams straight into the C++
+    table (kt_ht_read) -- no Python per-record loop and no dict detour
+    before an absorb: a 10^7-DP resume costs ~1 s instead of minutes.
+    Falls back to the dict table when the native library is missing.
+    """
     from ..utils.intutils import limbs_to_ints_fast
+
+    nat = None
+    if native:
+        from ..core.hashtable import NativeHashTable
+
+        try:
+            nat = NativeHashTable()
+        except Exception:
+            nat = None
 
     with open(path, "rb") as f:
         _, version = read_header(f, HEADW)
@@ -266,7 +283,13 @@ def load_work(path: str, load_kangaroos: bool = True) -> LoadedWork:
         key = curve.PointA(kx, ky)
         if not curve.on_curve(key):
             raise ValueError("LoadWork: key does not lie on elliptic curve")
-        ht = read_hash_table(f)
+        if nat is not None:
+            off = f.tell()
+            consumed = nat.read_region(path, off)
+            f.seek(off + consumed)
+            ht = nat
+        else:
+            ht = read_hash_table(f)
         # Merged files end right after the hash table (no kangaroo
         # count, Merge.cpp:194-214); treat EOF as zero kangaroos.
         raw = f.read(8)

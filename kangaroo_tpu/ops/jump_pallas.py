@@ -405,7 +405,7 @@ def _jump_kernel_body(
 )
 def jump_steps_with_dp(
     px, py, d, jx, jy, jd, dp_masks,
-    nb_run: int = 64, block: int = DEFAULT_BLOCK, interpret: bool = False,
+    nb_run: int = 64, block=None, interpret: bool = False,
     symmetry: bool = False, symclass=None, slots: int = 2,
 ):
     """Pallas backend with the same contract as jump_ref.jump_steps_with_dp.
@@ -414,19 +414,21 @@ def jump_steps_with_dp(
     has shape (slots, 16, N), dpd (slots, 8, N), dp_step (slots, N),
     dp_count (N,).  `slots` bounds per-lane DP captures per window
     (hits beyond it are counted but dropped); small-dp runs use more
-    slots so launch windows stay long.
+    slots so launch windows stay long.  block=None picks the default
+    (with the VMEM-aware demotion below); an explicit block always
+    wins.
     """
     n = px.shape[1]
     if symclass is None:
         symclass = jnp.zeros((n,), dtype=jnp.uint32)
-    if block == DEFAULT_BLOCK and block > 32768 and (
-        slots > 2 or symmetry
-    ):
-        # 65536-lane blocks fit VMEM only in the plain 2-slot geometry
-        # (measured: slots 4 demands 182.6 MiB, symmetry 178.0 MiB vs
-        # the chip's 128); those configurations drop to 32768 (-1%
-        # kernel rate).  An explicit `block` argument wins.
-        block = 32768
+    if not block:
+        block = DEFAULT_BLOCK
+        if block > 32768 and (slots > 2 or symmetry):
+            # 65536-lane blocks fit VMEM only in the plain 2-slot
+            # geometry (r03 measured: slots 4 demands 182.6 MiB,
+            # symmetry 178.0 MiB vs the chip's 128); those
+            # configurations drop to 32768 (-1% kernel rate)
+            block = 32768
     blk = min(block, n)
     # blocks must tile the herd: shrink to the largest divisor reachable
     # by halving (handles e.g. n = 3 * 2^15 at the 2^16 default block)

@@ -75,9 +75,10 @@ def make_sharded_jump_steps(
         if backend == "pallas":
             from ..ops import jump_pallas
 
-            blk = block or min(px.shape[1], jump_pallas.DEFAULT_BLOCK)
+            # block=0/None: the kernel picks its VMEM-aware default
             return jump_pallas.jump_steps_with_dp(
-                px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=blk,
+                px, py, d, jx, jy, jd, masks, nb_run=nb_run,
+                block=(block or None),
                 symmetry=symmetry, symclass=symclass, slots=slots,
             )
         return jump_ref.jump_steps_with_dp(

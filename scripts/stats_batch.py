@@ -3,7 +3,7 @@ compare the measured average ops against the 2.08*sqrt(N) kangaroo
 model (the reference's statistical oracle over in40_1000-style
 batches, Kangaroo.cpp:1010-1076).
 
-Usage: python scripts/stats_batch.py <config> [nk_log2] [dp] [nbrun] [kw]
+Usage: python scripts/stats_batch.py <config> [nk_log2] [dp] [nbrun] [kw] [maxkeys]
 Prints one line per key and a final summary with avg ops / sqrt(N),
 the dead-kangaroo rate, and wall rates.
 
@@ -28,6 +28,7 @@ def main():
     dp = int(sys.argv[3]) if len(sys.argv) > 3 else -1
     nbrun = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     kw = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    maxkeys = int(sys.argv[6]) if len(sys.argv) > 6 else 0
 
     from kangaroo_tpu.cli import enable_compile_cache
 
@@ -45,7 +46,8 @@ def main():
 
     counts, deads, times = [], [], []
     t_all = time.time()
-    for i in range(len(cfg.keys)):
+    n_keys = len(cfg.keys) if not maxkeys else min(maxkeys, len(cfg.keys))
+    for i in range(n_keys):
         t0 = time.time()
         res = solver.solve(i)
         dt = time.time() - t0

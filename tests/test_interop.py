@@ -299,3 +299,249 @@ def test_winfo_partition_dir_matches_cpp(ref_bin, tmp_path):
               "HT Avg", "HT SDev", "DP Size"):
         assert k in theirs, (k, out)
         assert ours.get(k) == theirs[k], (k, ours.get(k), theirs[k])
+
+
+# -- kangaroo-transfer interop (VERDICT r3 task 7) ----------------------
+
+def _start_cpp_server(ref_bin, cfg_path, port, cwd, extra=()):
+    proc = subprocess.Popen(
+        [ref_bin, "-s", "-d", "3", "-sp", str(port), *extra, cfg_path],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=cwd,
+    )
+    time.sleep(1.0)
+    assert proc.poll() is None, proc.stdout.read()
+    return proc
+
+
+def test_savekang_loadkang_python_client_cpp_server(ref_bin, tmp_path):
+    """SAVEKANG/LOADKANG round-trip through the stock C++ server
+    (Network.cpp:332-500) using the repo client's wire functions: the
+    server must accept our checksummed upload, write the HEADKS file,
+    and serve the identical distances back."""
+    from kangaroo_tpu.net.client import ServerConnection
+
+    start = 0x40000000
+    cfg_path = str(tmp_path / "in.txt")
+    _write_config(cfg_path, start, start + (1 << 28) - 1, start + 999)
+    port = 17421
+    proc = _start_cpp_server(ref_bin, cfg_path, port, str(tmp_path))
+    try:
+        conn = ServerConnection("127.0.0.1", port, 5.0)
+        conn.connect()
+        cfg, dp = conn.get_config()
+        assert dp == 3
+        # D-encoded distances incl. sign/type bits (b127/b126)
+        dists = [
+            (i * 0x9E3779B97F4A7C15) & ((1 << 126) - 1)
+            | ((i & 1) << 126) | ((i & 2) >> 1 << 127)
+            for i in range(1, 700)
+        ]
+        conn.save_kangaroos_via_server("kbk.kang", dists)
+        time.sleep(0.5)
+        # the stock server wrote the HEADKS file in its cwd
+        path = tmp_path / "kbk.kang"
+        assert path.exists(), list(tmp_path.iterdir())
+        raw = path.read_bytes()
+        import struct as _s
+
+        head, ver, nb = _s.unpack("<IIQ", raw[:16])
+        from kangaroo_tpu.constants import HEADKS
+
+        assert head == HEADKS and nb == len(dists)
+        got = conn.load_kangaroos_via_server("kbk.kang")
+        assert got == dists
+        conn.close()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
+def test_savekang_loadkang_cpp_client_python_server(ref_bin, tmp_path):
+    """Stock C++ client with -w/-wss backs its kangaroos up through the
+    repo server (our SAVEKANG handler must pass its checksum check and
+    write the HEADKS file); on restart the client restores them through
+    our LOADKANG handler (wrong bytes would trip the client's checksum
+    and abort)."""
+    from kangaroo_tpu.core.config import ProblemConfig
+    from kangaroo_tpu.net.server import DPServer
+
+    start = 0x80000000
+    k = start + 0x3C614E7
+    cfg = ProblemConfig(start, start + (1 << 30) - 1, [curve.mul(k)])
+    srv = DPServer(cfg, dp_size=14, port=0)  # dp big: no quick solve
+    th = threading.Thread(target=srv.run, kwargs={"quiet": True},
+                          daemon=True)
+    th.start()
+    for _ in range(50):
+        if srv.port:
+            break
+        time.sleep(0.1)
+    assert srv.port
+
+    bk = str(tmp_path / "cpp.kang")
+
+    def run_cpp_client(seconds):
+        proc = subprocess.Popen(
+            [ref_bin, "-t", "1", "-w", bk, "-wss", "-wi", "2",
+             "-c", "127.0.0.1", "-sp", str(srv.port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(tmp_path),
+        )
+        time.sleep(seconds)
+        alive = proc.poll() is None
+        if alive:
+            proc.kill()
+        out = proc.communicate()[0]
+        return alive, out
+
+    try:
+        alive, out = run_cpp_client(8.0)
+        assert alive, out
+        assert os.path.exists(bk), out
+        import struct as _s
+
+        raw = open(bk, "rb").read()
+        head, ver, nb = _s.unpack("<IIQ", raw[:16])
+        from kangaroo_tpu.constants import HEADKS
+
+        assert head == HEADKS
+        assert nb == 1024  # one CPU thread herd
+        assert len(raw) == 16 + 16 * nb
+        # restart: the client pulls the backup back via LOADKANG; a
+        # checksum mismatch would print a wrong-checksum error
+        alive, out = run_cpp_client(6.0)
+        assert alive, out
+        assert "2^10.00 kangaroos loaded" in out, out
+        assert "checksum" not in out.lower(), out
+    finally:
+        srv.end_of_search = True
+        th.join(timeout=15)
+
+
+def test_headk_file_cross_restore(ref_bin, tmp_path):
+    """HEADK kangaroo files cross-load: the stock client resumes from a
+    repo-written -w backup (LoadWork HEADK branch, Backup.cpp:211-289)
+    and the repo client resumes from a stock-written one."""
+    from kangaroo_tpu.core.config import ProblemConfig
+    from kangaroo_tpu.core.solver import KangarooSolver, SolverOptions
+    from kangaroo_tpu.io import backup as backup_mod
+    from kangaroo_tpu.net.server import DPServer
+
+    start = 0x80000000
+    k = start + 0x1C614E7
+    cfg = ProblemConfig(start, start + (1 << 30) - 1, [curve.mul(k)])
+    srv = DPServer(cfg, dp_size=14, port=0)
+    th = threading.Thread(target=srv.run, kwargs={"quiet": True},
+                          daemon=True)
+    th.start()
+    for _ in range(50):
+        if srv.port:
+            break
+        time.sleep(0.1)
+    assert srv.port
+
+    try:
+        # repo-written HEADK -> stock client
+        opts = SolverOptions(nb_kangaroo=1024, dp_size=14, nb_run=4,
+                             seed=5, backend="xla", n_devices=1,
+                             quiet=True)
+        s = KangarooSolver(cfg, opts)
+        s.init_search_key(0)
+        s.solve(0, max_ticks=2)
+        import numpy as np
+
+        px, py, d = (np.asarray(a) for a in s.last_state)
+        ours = str(tmp_path / "py.kang")
+        backup_mod.save_kangaroo_file(ours, s, px, py, d, 123, 1.0)
+        proc = subprocess.Popen(
+            [ref_bin, "-t", "1", "-i", ours,
+             "-c", "127.0.0.1", "-sp", str(srv.port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        time.sleep(6.0)
+        alive = proc.poll() is None
+        if alive:
+            proc.kill()
+        out = proc.communicate()[0]
+        assert alive, out
+        assert "2^10.00 kangaroos loaded" in out, out
+
+        # stock-written HEADK -> repo loader
+        bk = str(tmp_path / "cpp_local.kang")
+        proc = subprocess.Popen(
+            [ref_bin, "-t", "1", "-w", bk, "-wi", "2",
+             "-c", "127.0.0.1", "-sp", str(srv.port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        time.sleep(8.0)
+        if proc.poll() is None:
+            proc.kill()
+        out = proc.communicate()[0]
+        assert os.path.exists(bk), out
+        s2 = KangarooSolver(cfg, SolverOptions(
+            nb_kangaroo=1024, dp_size=14, quiet=True))
+        s2.init_search_key(0)
+        kang = backup_mod.load_kangaroo_file(
+            bk, cfg.range_start, cfg.range_end, s2.key_to_search
+        )
+        assert kang is not None and kang[0].shape[1] == 1024
+        # every restored kangaroo satisfies the walk invariant
+        # P == d*G (+key when wild) -- full re-derivation
+        from kangaroo_tpu.utils.intutils import limbs_to_ints_fast
+
+        xs = limbs_to_ints_fast(kang[0])
+        ds = limbs_to_ints_fast(kang[2])
+        from kangaroo_tpu.core.herd import true_distance
+
+        for i in range(0, 1024, 101):
+            dist = true_distance(int(ds[i]), i % 2, s2.width_div2)
+            from kangaroo_tpu.constants import N_ORDER
+            pt = curve.mul(dist % N_ORDER)
+            if i % 2 == 1:
+                pt = curve.add(s2.key_to_search, pt)
+            assert pt.x == int(xs[i]), f"lane {i}"
+    finally:
+        srv.end_of_search = True
+        th.join(timeout=15)
+
+
+def test_wsplit_files_merged_by_cpp_wmdir(ref_bin, tmp_path):
+    """-wsplit output directory consumed by the stock -wmdir
+    (MergeDir, Merge.cpp:255-343): fold-merge must accept our files,
+    and our merge_dir of the same inputs stays byte-identical."""
+    import struct as _s
+
+    wdir = tmp_path / "splits"
+    wdir.mkdir()
+    # three timestamped split files with overlapping DP sets
+    from kangaroo_tpu.io.backup import split_file_name
+
+    names = []
+    for i, (lo, hi, cnt) in enumerate(
+        [(6000, 6040, 10), (6030, 6070, 20), (6060, 6100, 40)]
+    ):
+        ht = HashTable()
+        for dist in range(lo, hi):
+            x, d, kt = make_dp(dist, 0)
+            ht.add_dp(x, d, kt)
+        name = split_file_name(str(wdir / "save"))
+        save_table(name, ht, cnt, 1.0)
+        names.append(name)
+        time.sleep(1.1)  # distinct timestamps
+    assert len(set(names)) == 3
+
+    dest_cpp = str(tmp_path / "cpp_merged.work")
+    code, out = run_bin(ref_bin, ["-wmdir", str(wdir), dest_cpp])
+    assert code == 0, out
+    assert os.path.exists(dest_cpp), out
+
+    dest_py = str(tmp_path / "py_merged.work")
+    ok, res, dead = merge.merge_dir(str(wdir), dest_py, verbose=False)
+    assert ok and res is None
+    with open(dest_cpp, "rb") as fa, open(dest_py, "rb") as fb:
+        assert fa.read() == fb.read(), "wmdir outputs differ byte-wise"
+    lw = backup.load_work(dest_cpp)
+    assert lw.hash_table.n_items() == 100  # 6000..6100 deduped
+    assert lw.count == 70

@@ -412,3 +412,91 @@ def test_same_key_solve_continues(tmp_path):
     s2.solve(0, max_ticks=2)
     assert s2.hash_table.n_items() >= n2
     assert s2.stats.count == c2 + 2 * 64 * 8
+
+
+def test_native_load_work_matches_dict(tmp_path):
+    """load_work(native=True) streams buckets via kt_ht_read; contents
+    must equal the Python-parsed dict load exactly."""
+    from kangaroo_tpu.core.hashtable import NativeHashTable
+    from kangaroo_tpu.io import backup
+
+    try:
+        NativeHashTable()
+    except Exception:
+        pytest.skip("native table unavailable")
+
+    s = make_solver(nk=64)
+    s.solve(0, max_ticks=8)
+    wf = str(tmp_path / "nl.work")
+    px, py, d = (np.asarray(a) for a in s.last_state)
+    backup.save_work(wf, s, px, py, d, s.stats.count, 1.0,
+                     save_kangaroo=True)
+
+    lw_py = backup.load_work(wf)            # dict path
+    lw_nat = backup.load_work(wf, native=True)
+    assert isinstance(lw_nat.hash_table, NativeHashTable)
+    assert list(lw_py.hash_table.iter_sorted()) == list(
+        lw_nat.hash_table.iter_sorted()
+    )
+    # kangaroos parsed identically after the native bucket stream
+    # (the seek past the bucket region must land exactly)
+    assert lw_nat.nb_kangaroo == lw_py.nb_kangaroo
+    for a, b in zip(lw_nat.kangaroos, lw_py.kangaroos):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_native_resume_scale(tmp_path):
+    """10^7-DP resume must stream in seconds, not minutes (VERDICT r3
+    task 8: native absorb without the Python detour)."""
+    import time as _time
+
+    from kangaroo_tpu.core.hashtable import NativeHashTable
+    from kangaroo_tpu.io import backup
+    from kangaroo_tpu.constants import HASH_SIZE
+
+    try:
+        ht = NativeHashTable()
+    except Exception:
+        pytest.skip("native table unavailable")
+
+    n = 10_000_000
+    rng = np.random.RandomState(42)
+    chunk = 1 << 20
+    t0 = _time.perf_counter()
+    made = 0
+    while made < n:
+        m = min(chunk, n - made)
+        rec = np.zeros((m, 36), dtype=np.uint8)
+        h = rng.randint(0, HASH_SIZE, m).astype("<u4")
+        rec[:, 0:4] = h.view(np.uint8).reshape(m, 4)
+        rec[:, 4:20] = rng.randint(
+            0, 256, (m, 16), dtype=np.uint8
+        )
+        rec[:, 4:8] = np.arange(made, made + m, dtype="<u4").view(
+            np.uint8
+        ).reshape(m, 4)  # unique low bytes: no dups
+        rec[:, 20:28] = rng.randint(0, 256, (m, 8), dtype=np.uint8)
+        ht.add_batch_raw(rec.tobytes(), m)
+        made += m
+    t_fill = _time.perf_counter() - t0
+
+    wf = str(tmp_path / "big.work")
+    with open(wf, "wb") as f:
+        f.write(b"\x00" * 110)  # placeholder header region
+        t0 = _time.perf_counter()
+        ht.write_region(wf, 110)
+        t_write = _time.perf_counter() - t0
+
+    ht2 = NativeHashTable()
+    t0 = _time.perf_counter()
+    consumed = ht2.read_region(wf, 110)
+    t_read = _time.perf_counter() - t0
+    assert ht2.n_items() == ht.n_items() == n
+    assert consumed > 32 * n
+    print(
+        f"\n10^7-DP native paths: fill {t_fill:.2f}s, "
+        f"write {t_write:.2f}s, resume-read {t_read:.2f}s"
+    )
+    # the resume read is the user-visible stall; generous CI bound
+    assert t_read < 10.0
