@@ -143,7 +143,10 @@ def slots_for_window(nb_run: int, dp_size: int, n_lanes: int,
     s = 2
     while n_lanes * poisson_tail(lam, s + 1) > target and s < 64:
         s += 1
-    return s
+    # round up to even: each slot count is a distinct kernel compile
+    # (minutes through the remote compile service), so halving the
+    # number of reachable configurations is worth one spare slot
+    return s + (s & 1)
 
 
 class KangarooSolver:
