@@ -240,16 +240,14 @@ class KangarooSolver:
             _, _, overhead = self.compute_expected(float(s), nb_kangaroo)
         return s
 
-    # Host-side cost of one DP (decode + table insert + relay
-    # transfer), measured on this stack: ~4.4 us compute + ~17 us
-    # Host cost per drained DP.  The compute side is ~1 us (native
-    # table insert 0.3 us + vectorized packing), but each gathered DP
-    # also ships ~40 packed bytes through the device link; through the
-    # axon relay that transfer measures ~5-8 us/DP (the 56-bit solve
-    # at dp 10 moved ~20 MB/tick and walked at 43 MK/s against a 156
-    # MK/s kernel before this was priced in).  Co-located deployments
-    # can pass dp_cost=1e-6.
-    DP_HOST_COST = 8e-6
+    # Host-side cost of one DP (decode + table insert + device-link
+    # transfer).  With the flat per-DP gather (round 4) each captured
+    # DP ships exactly 38 packed bytes and inserts natively (~0.3 us);
+    # through the axon relay the transfer prices at ~1-2 us/DP (the
+    # round-3 slot-plane gather shipped ~6x that and baked 8e-6 here,
+    # which oversized dp by 1-3 bits).  Co-located deployments can
+    # pass dp_cost=1e-6 via -dpcost.
+    DP_HOST_COST = 2e-6
 
     def balanced_dp(self, nb_kangaroo: int, rate: Optional[float] = None,
                     suggested: Optional[int] = None,
@@ -535,69 +533,89 @@ class KangarooSolver:
             n,
         )
 
-        # One fused gather dispatch per tick.  Only the x limbs the
-        # table needs travel to the host: the stored X is the low 128
-        # bits and the bucket is bits 128..145 (HashTable.cpp:75-100),
-        # i.e. limbs 0..9 -- the rest of x is reconstructible from
-        # them being a DP (top dp_size bits zero) except bits 146..;
-        # those are never used by the table or collision math.
+        # One fused gather dispatch per tick over FLAT (window, slot,
+        # lane) DP positions: the host reads the per-lane counts, lists
+        # the occupied slot cells, and the device ships exactly one
+        # 38-byte column per captured DP.  (The previous layout gathered
+        # ALL slot planes for every hit lane: at 6 slots and dp 14 that
+        # moved ~60 MB/tick through the device link when ~5 MB of real
+        # DPs existed -- the link, not the kernel, set the 72-bit solve
+        # rate.)  Only the x limbs the table needs travel: stored X is
+        # the low 128 bits and the bucket is bits 128..145
+        # (HashTable.cpp:75-100), i.e. limbs 0..9.
         @jax.jit
-        def gather_fn(dpx, dpd, dp_step, hit_idx):
+        def gather_fn(dpx, dpd, dp_step, flat_idx):
             if kw > 1:
-                # stacked (kw, slots, ., n) windows -> flat window-lane
-                # axis of width kw*n (flat index = window*n + lane,
-                # matching the flattened count read)
-                dpx = jnp.moveaxis(dpx, 0, 2).reshape(n_slots, 16, kw * n)
-                dpd = jnp.moveaxis(dpd, 0, 2).reshape(n_slots, 8, kw * n)
-                dp_step = jnp.moveaxis(dp_step, 0, 1).reshape(
-                    n_slots, kw * n
+                # stacked (kw, slots*R, n) windows -> (R, kw*slots*n)
+                dpx = dpx.reshape(kw, n_slots, 16, n)
+                dpd = dpd.reshape(kw, n_slots, 8, n)
+                xg = jnp.moveaxis(dpx, 2, 0).reshape(16, kw * n_slots * n)
+                dg = jnp.moveaxis(dpd, 2, 0).reshape(8, kw * n_slots * n)
+                sf = dp_step.reshape(kw * n_slots * n)
+            else:
+                xg = dpx.reshape(n_slots, 16, n).swapaxes(0, 1).reshape(
+                    16, n_slots * n
                 )
-            xg = jnp.take(dpx[:, :10], hit_idx, axis=2)
-            dg = jnp.take(dpd, hit_idx, axis=2)
-            sg = jnp.take(dp_step, hit_idx, axis=1)
-            # halve the device->host payload: the limb rows hold 16-bit
+                dg = dpd.reshape(n_slots, 8, n).swapaxes(0, 1).reshape(
+                    8, n_slots * n
+                )
+                sf = dp_step.reshape(n_slots * n)
+            xg = jnp.take(xg[:10], flat_idx, axis=1)
+            dg = jnp.take(dg, flat_idx, axis=1)
+            sg = jnp.take(sf, flat_idx)
+            # halve the payload further: the limb rows hold 16-bit
             # values in u32 lanes, so pack row pairs before transfer
-            # (the relay link prices the solve at high DP rates)
-            xp = xg[:, 0::2] | (xg[:, 1::2] << 16)   # (slots, 5, P)
-            dp2 = dg[:, 0::2] | (dg[:, 1::2] << 16)  # (slots, 4, P)
+            xp = xg[0::2] | (xg[1::2] << 16)   # (5, P)
+            dp2 = dg[0::2] | (dg[1::2] << 16)  # (4, P)
             return xp, dp2, sg.astype(jnp.uint16)    # steps < nb_run
 
         def enqueue_pull(pend):
-            """Stage 2: read a tick's DP counts, enqueue hit-lane gathers.
+            """Stage 2: read a tick's DP counts, enqueue per-DP gathers.
 
-            Blocks only on the count transfer (u16-packed); the slot
-            gathers go out as ONE dispatch and stay in flight so they
-            overlap the next tick on the device queue.  Pulls only the
-            hit lanes: the full DP slot arrays are tens of MB per tick
-            at large herds.
+            Blocks only on the count transfer (u8-packed, saturating:
+            the lost-DP counter saturates at 255 hits/lane/window, far
+            beyond any slot budget); the gathers go out as ONE dispatch
+            and stay in flight so they overlap the next tick on the
+            device queue.
             """
             count, dpx, dpd, dp_step = pend
             count_np = self._host_read(
-                lambda: np.asarray(count.astype(jnp.uint16))
+                lambda: np.asarray(
+                    jnp.minimum(count, 255).astype(jnp.uint8)
+                )
             )
             count_np = count_np.reshape(-1)  # (kw, n) -> window-lane
-            hits = np.nonzero(count_np)[0]
-            if not hits.size:
+            cnt = np.minimum(count_np, n_slots).astype(np.int64)
+            wl = np.nonzero(cnt)[0]          # hit window-lanes
+            if not wl.size:
                 return None
-            h = len(hits)
+            reps = cnt[wl]
+            flat_wl = np.repeat(wl, reps)    # one entry per DP
+            ends = np.cumsum(reps)
+            slot_i = (np.arange(len(flat_wl)) - np.repeat(
+                ends - reps, reps)).astype(np.int64)
+            lanes = flat_wl % n
+            wins = flat_wl // n
+            flat = (wins * n_slots + slot_i) * n + lanes
+            m = len(flat)
             chunks = []
-            for off in range(0, h, pull_pad):
-                part = hits[off:off + pull_pad]
-                idx = np.zeros(pull_pad, dtype=np.int32)
+            for off in range(0, m, pull_pad):
+                part = flat[off:off + pull_pad]
+                idx = np.zeros(pull_pad, dtype=np.int64)
                 idx[:len(part)] = part
                 chunks.append(
                     (len(part),)
                     + gather_fn(dpx, dpd, dp_step, jnp.asarray(idx))
                 )
-            return count_np, hits, chunks
+            return count_np, wl, lanes, wins, chunks
 
         def read_pull(flight):
-            """Stage 3 transfer: bring the gathered hit slots to host.
+            """Stage 3 transfer: bring the gathered DP columns to host.
 
             The device packed 16-bit limb rows pairwise into u32 lanes
             (and steps into u16); unpack vectorized here.
             """
-            count_np, hits, chunks = flight
+            count_np, wl, lanes, wins, chunks = flight
             xs, ds, ss = [], [], []
             for m, dpx_g, dpd_g, step_g in chunks:
                 got = self._host_read(
@@ -606,24 +624,20 @@ class KangarooSolver:
                     )
                 )
                 xp, dp2, sg = got
-                x = np.empty(
-                    (xp.shape[0], 10, xp.shape[2]), dtype=np.uint32
-                )
-                x[:, 0::2] = xp & np.uint32(0xFFFF)
-                x[:, 1::2] = xp >> np.uint32(16)
-                dd = np.empty(
-                    (dp2.shape[0], 8, dp2.shape[2]), dtype=np.uint32
-                )
-                dd[:, 0::2] = dp2 & np.uint32(0xFFFF)
-                dd[:, 1::2] = dp2 >> np.uint32(16)
-                xs.append(x[:, :, :m])
-                ds.append(dd[:, :, :m])
-                ss.append(sg[:, :m].astype(np.uint32))
+                x = np.empty((10, xp.shape[1]), dtype=np.uint32)
+                x[0::2] = xp & np.uint32(0xFFFF)
+                x[1::2] = xp >> np.uint32(16)
+                dd = np.empty((8, dp2.shape[1]), dtype=np.uint32)
+                dd[0::2] = dp2 & np.uint32(0xFFFF)
+                dd[1::2] = dp2 >> np.uint32(16)
+                xs.append(x[:, :m])
+                ds.append(dd[:, :m])
+                ss.append(sg[:m].astype(np.uint32))
             return (
-                count_np, hits,
-                np.concatenate(xs, axis=2),
-                np.concatenate(ds, axis=2),
-                np.concatenate(ss, axis=1),
+                count_np, wl, lanes, wins,
+                np.concatenate(xs, axis=1),
+                np.concatenate(ds, axis=1),
+                np.concatenate(ss),
             )
 
         def apply_resets(resets):
@@ -647,7 +661,7 @@ class KangarooSolver:
         _wlo = np.uint64(_wd2 & 0xFFFFFFFFFFFFFFFF)
         _whi = np.uint64(_wd2 >> 64)
 
-        def drain_native(count_np, hits, dpx_np, dpd_np, step_np, ns):
+        def drain_native(lanes, wins, x_np, d_np, step_np):
             """Batch drain into the native C++ table.
 
             Fully vectorized packing: device distances become the
@@ -658,23 +672,13 @@ class KangarooSolver:
             batch.  ~0.3 us/DP vs ~4.4 us on the per-item path.
             """
             nonlocal result
-            cnt = np.minimum(count_np[hits].astype(np.int64), ns)
-            slot_i, pos_i = np.nonzero(np.arange(ns)[:, None] < cnt[None, :])
-            if not slot_i.size:
-                return False
-            flat = hits[pos_i]          # window*n + lane
             # global step across the kw fused windows of this tick
-            steps = (
-                step_np[slot_i, pos_i].astype(np.int64)
-                + (flat // n) * opts.nb_run
-            )
-            lanes = flat % n
+            steps = step_np.astype(np.int64) + wins * opts.nb_run
             order = np.lexsort((lanes, steps))  # walk order (step, lane)
-            slot_i, pos_i = slot_i[order], pos_i[order]
             lanes = lanes[order]
             m = len(lanes)
-            xl = dpx_np[slot_i, :, pos_i]        # (m, 10) 16-bit limbs
-            dl = dpd_np[slot_i, :, pos_i].astype(np.uint64)  # (m, 8)
+            xl = x_np[:, order].T                # (m, 10) 16-bit limbs
+            dl = d_np[:, order].T.astype(np.uint64)  # (m, 8)
             hbk = (xl[:, 8] | ((xl[:, 9] & 0x3) << 16)).astype(np.uint32)
             lo = dl[:, 0] | (dl[:, 1] << np.uint64(16)) | (
                 dl[:, 2] << np.uint64(32)) | (dl[:, 3] << np.uint64(48))
@@ -753,13 +757,13 @@ class KangarooSolver:
             (GPUEngine.cu:607-677).
             """
             nonlocal px, py, d, symclass, result, sink_end
-            count_np, hits, dpx_np, dpd_np, step_np = pulled
-            ns = dpx_np.shape[0]
+            count_np, wl, lanes, wins, x_np, d_np, step_np = pulled
+            ns = n_slots
             # DP hits beyond the on-chip capture slots are dropped by
             # the kernel; count and warn like the reference's output
             # ring overflow (GPUEngine.cu:641-648)
             lost = int(
-                np.maximum(count_np[hits].astype(np.int64) - ns, 0).sum()
+                np.maximum(count_np[wl].astype(np.int64) - ns, 0).sum()
             )
             if lost:
                 self.stats.lost += lost
@@ -773,34 +777,24 @@ class KangarooSolver:
             if dp_sink is None and isinstance(
                 self.hash_table, NativeHashTable
             ):
-                return drain_native(count_np, hits, dpx_np, dpd_np,
-                                    step_np, ns)
-            # vectorized limb -> int conversion for every slot
-            xs_slot = [limbs_to_ints_fast(dpx_np[sl]) for sl in range(ns)]
-            ds_slot = [limbs_to_ints_fast(dpd_np[sl]) for sl in range(ns)]
+                return drain_native(lanes, wins, x_np, d_np, step_np)
+            # vectorized limb -> int conversion, one column per DP
+            xs_i = limbs_to_ints_fast(x_np)
+            ds_i = limbs_to_ints_fast(d_np)
             # process in walk order (step, then lane) so the table
             # fills like a sequential replay
-            items = []
-            for pos, flat in enumerate(hits):
-                c = min(int(count_np[flat]), ns)
-                # flat = window*n + lane; order by the global step
-                # across the tick's kw fused windows
-                woff = int(flat) // n * opts.nb_run
-                for slot in range(c):
-                    items.append(
-                        (int(step_np[slot, pos]) + woff,
-                         int(flat) % n, pos, slot)
-                    )
-            items.sort()
+            steps = step_np.astype(np.int64) + wins * opts.nb_run
+            order = np.lexsort((lanes, steps))
             if dp_sink is not None:
                 # Client mode: ship DPs to the server instead of the
                 # local table (reference: SolveKeyCPU client branch,
                 # Kangaroo.cpp:435-456).  The sink returns True when
                 # the server reports end-of-search.
                 batch = []
-                for _, lane, pos, slot in items:
-                    x = int(xs_slot[slot][pos])
-                    ddev = int(ds_slot[slot][pos])
+                for pos in order:
+                    x = int(xs_i[pos])
+                    ddev = int(ds_i[pos])
+                    lane = int(lanes[pos])
                     ktype = lane % 2
                     d_modn = herd_mod.true_distance(
                         ddev, ktype, self.width_div2,
@@ -812,9 +806,10 @@ class KangarooSolver:
                     return True
                 return False
             resets = []
-            for _, lane, pos, slot in items:
-                x = int(xs_slot[slot][pos])
-                ddev = int(ds_slot[slot][pos])
+            for pos in order:
+                x = int(xs_i[pos])
+                ddev = int(ds_i[pos])
+                lane = int(lanes[pos])
                 ktype = lane % 2
                 d_modn = herd_mod.true_distance(
                     ddev, ktype, self.width_div2, symmetry=opts.symmetry

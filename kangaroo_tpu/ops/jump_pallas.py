@@ -423,11 +423,15 @@ def jump_steps_with_dp(
         symclass = jnp.zeros((n,), dtype=jnp.uint32)
     if not block:
         block = DEFAULT_BLOCK
-        if block > 32768 and (slots > 2 or symmetry):
-            # 65536-lane blocks fit VMEM only in the plain 2-slot
-            # geometry (r03 measured: slots 4 demands 182.6 MiB,
-            # symmetry 178.0 MiB vs the chip's 128); those
-            # configurations drop to 32768 (-1% kernel rate)
+        if block > 32768 and slots > 2:
+            # 65536-lane blocks fit VMEM only in 2-slot geometries
+            # (r03 measured slots 4 at 182.6 MiB vs the chip's 128;
+            # each extra slot adds 25 double-buffered output rows);
+            # more slots drop to 32768 (-1% kernel rate).  Symmetry
+            # at 2 slots FITS since the chunked sym tail (r03) matched
+            # the plain geometry: 136.4 raw / 192.9 effective MK/s at
+            # 65536 measured r04 (hw_evidence/sym65536_r04.txt) vs
+            # 131.3/185.7 at 32768 -- the r03 demotion was stale.
             block = 32768
     blk = min(block, n)
     # blocks must tile the herd: shrink to the largest divisor reachable
