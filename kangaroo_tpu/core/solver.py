@@ -840,6 +840,33 @@ class KangarooSolver:
             apply_resets(resets)
             return False
 
+        # Pre-compile the dead-lane reset path at its smallest bucket
+        # (8): the first real reset otherwise stalls the measured walk
+        # for the full remote compile (~2 min observed on the 72-bit
+        # hardware solve).  Identity writes: lanes 0..7 get their own
+        # current values back, and the throwaway RNG leaves the herd
+        # RNG stream untouched.
+        if backend == "pallas" and nd == 1 and opts.nb_kangaroo >= 8:
+            warm_rng = rng_mod.MT19937(0)
+            dists = [
+                herd_mod.draw_start_distances(
+                    1, self.range_power, self.width_div2, t % 2,
+                    warm_rng, symmetry=opts.symmetry,
+                )[0]
+                for t in range(8)
+            ]
+            herd_mod.herd_from_distances(
+                dists, np.arange(8, dtype=np.uint32) & 1,
+                self.width_div2, self.key_to_search,
+                symmetry=opts.symmetry,
+            )
+            lanes_w = jnp.asarray(np.arange(8, dtype=np.int32))
+            px = px.at[:, lanes_w].set(px[:, :8])
+            py = py.at[:, lanes_w].set(py[:, :8])
+            d = d.at[:, lanes_w].set(d[:, :8])
+            if opts.symmetry:
+                symclass = symclass.at[lanes_w].set(symclass[:8])
+
         # Three-stage pipelined loop (the device queue never drains):
         #   iter T: dispatch tick T; read tick T-1's DP counts and
         #   enqueue its hit-lane gathers (they run behind tick T);

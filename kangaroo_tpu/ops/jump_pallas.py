@@ -205,21 +205,31 @@ def _make_chunk_runner(s_in, s_out):
                 return None
             s_out[:orows, :w] = out0
 
-            def body(j, _):
-                start = j * w
+            def one(start):
                 args = []
                 o = 0
                 for r in rows:
                     args.append(s_in[o:o + r, pl.ds(start, w)])
                     o += r
                 s_out[:orows, pl.ds(start, w)] = fn(*args)
+
+            # Manual partial unroll: Mosaic's fori_loop only supports
+            # unroll=1 or full, so the body processes U chunks at
+            # static offsets from a dynamic base -- same scheduler
+            # window as lax-level unroll would give.
+            total = n // w
+            u = max(1, LOOPCHUNK_UNROLL)
+            groups = (total - 1) // u
+
+            def body(j, _):
+                base = 1 + j * u
+                for k in range(u):
+                    one((base + k) * w)
                 return 0
 
-            jax.lax.fori_loop(
-                1, n // w, body, 0,
-                unroll=(LOOPCHUNK_UNROLL if LOOPCHUNK_UNROLL > 1
-                        else None),
-            )
+            jax.lax.fori_loop(0, groups, body, 0)
+            for c in range(1 + groups * u, total):
+                one(c * w)  # static tail chunks
             return s_out[:orows, :n]
         finally:
             state["busy"] = False

@@ -3,7 +3,7 @@ compare the measured average ops against the 2.08*sqrt(N) kangaroo
 model (the reference's statistical oracle over in40_1000-style
 batches, Kangaroo.cpp:1010-1076).
 
-Usage: python scripts/stats_batch.py <config> [nk_log2] [dp] [nbrun] [kw] [maxkeys]
+Usage: python scripts/stats_batch.py <config> [nk_log2] [dp] [nbrun] [kw] [maxkeys] [startkey]
 Prints one line per key and a final summary with avg ops / sqrt(N),
 the dead-kangaroo rate, and wall rates.
 
@@ -29,6 +29,7 @@ def main():
     nbrun = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     kw = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     maxkeys = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+    startkey = int(sys.argv[7]) if len(sys.argv) > 7 else 0
 
     from kangaroo_tpu.cli import enable_compile_cache
 
@@ -47,7 +48,7 @@ def main():
     counts, deads, times = [], [], []
     t_all = time.time()
     n_keys = len(cfg.keys) if not maxkeys else min(maxkeys, len(cfg.keys))
-    for i in range(n_keys):
+    for i in range(startkey, n_keys):
         t0 = time.time()
         res = solver.solve(i)
         dt = time.time() - t0

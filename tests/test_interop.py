@@ -358,7 +358,8 @@ def test_savekang_loadkang_python_client_cpp_server(ref_bin, tmp_path):
             proc.wait()
 
 
-def test_savekang_loadkang_cpp_client_python_server(ref_bin, tmp_path):
+def test_savekang_loadkang_cpp_client_python_server(ref_bin, tmp_path,
+                                                     monkeypatch):
     """Stock C++ client with -w/-wss backs its kangaroos up through the
     repo server (our SAVEKANG handler must pass its checksum check and
     write the HEADKS file); on restart the client restores them through
@@ -367,10 +368,15 @@ def test_savekang_loadkang_cpp_client_python_server(ref_bin, tmp_path):
     from kangaroo_tpu.core.config import ProblemConfig
     from kangaroo_tpu.net.server import DPServer
 
-    start = 0x80000000
+    # server-side backups are confined to basenames in the server cwd
+    monkeypatch.chdir(tmp_path)
+
+    start = 0x80000000000000
     k = start + 0x3C614E7
-    cfg = ProblemConfig(start, start + (1 << 30) - 1, [curve.mul(k)])
-    srv = DPServer(cfg, dp_size=14, port=0)  # dp big: no quick solve
+    # 56-bit range: ~2.08*2^28 expected ops, hours at the client's
+    # single-thread rate -- the client cannot solve mid-test
+    cfg = ProblemConfig(start, start + (1 << 56) - 1, [curve.mul(k)])
+    srv = DPServer(cfg, dp_size=14, port=0)
     th = threading.Thread(target=srv.run, kwargs={"quiet": True},
                           daemon=True)
     th.start()
@@ -380,7 +386,7 @@ def test_savekang_loadkang_cpp_client_python_server(ref_bin, tmp_path):
         time.sleep(0.1)
     assert srv.port
 
-    bk = str(tmp_path / "cpp.kang")
+    bk = str(tmp_path / "cpp.kang")  # server cwd == tmp_path
 
     def run_cpp_client(seconds):
         proc = subprocess.Popen(
@@ -429,9 +435,10 @@ def test_headk_file_cross_restore(ref_bin, tmp_path):
     from kangaroo_tpu.io import backup as backup_mod
     from kangaroo_tpu.net.server import DPServer
 
-    start = 0x80000000
+    start = 0x80000000000000
     k = start + 0x1C614E7
-    cfg = ProblemConfig(start, start + (1 << 30) - 1, [curve.mul(k)])
+    # 56-bit range: the stock client cannot solve it mid-test
+    cfg = ProblemConfig(start, start + (1 << 56) - 1, [curve.mul(k)])
     srv = DPServer(cfg, dp_size=14, port=0)
     th = threading.Thread(target=srv.run, kwargs={"quiet": True},
                           daemon=True)
@@ -538,7 +545,7 @@ def test_wsplit_files_merged_by_cpp_wmdir(ref_bin, tmp_path):
     assert os.path.exists(dest_cpp), out
 
     dest_py = str(tmp_path / "py_merged.work")
-    ok, res, dead = merge.merge_dir(str(wdir), dest_py, verbose=False)
+    ok, res, dead = merge.merge_dir(str(wdir), dest_py)
     assert ok and res is None
     with open(dest_cpp, "rb") as fa, open(dest_py, "rb") as fb:
         assert fa.read() == fb.read(), "wmdir outputs differ byte-wise"
