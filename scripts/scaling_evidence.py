@@ -184,6 +184,15 @@ def main() -> None:
             "wall_source": wall.get("source"),
             "duty_factor": duty,
             "lost_dps": wall.get("lost_dps"),
+            "duty_decomposition": (
+                "the wall/kernel gap is per-tick host round trips "
+                "(count readback + DP gather) through this testbed's "
+                "~5 MB/s stdio relay to the remote chip; BENCHMARKS.md "
+                "SS4 itemizes it.  Co-located hosts (the production "
+                "topology; reference GPUs are PCIe-local) pay "
+                "sub-millisecond round trips and duty -> ~0.99, which "
+                "is what the >=85% multi-host claim assumes per chip"
+            ),
         },
         "herd_independence": (
             "bit-identity proven on an 8-device mesh "
