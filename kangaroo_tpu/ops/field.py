@@ -450,8 +450,23 @@ def reduce_512(
     lo = g & _M16
     c = g >> 16
     top = c[15]
-    e, out = _carry_exact_out(_fit(lo, 16) + _down(c, 1, 16), 16)
-    return _fold_small_arr(e, top + out)
+    # Consolidated tail (round 4): fold `top` INTO the exact pass that
+    # finishes the relaxed accumulator, instead of exact-carrying first
+    # and handing (e, top+out) to _fold_small_arr (which pays two more
+    # exact passes).  Entry bound: row0 = lo[0] + 977*top < 2^16 +
+    # 7*977, row2 gains top <= ~7, every other row < 2^16 + 2^12 --
+    # all <= 2^17 - 2.  Value bound: < 2^256 + 2^253 + eps, so the
+    # carry-out stays binary.  Saves one full 16-row exact-carry pass
+    # per reduce (of 3), the "consolidate folds on semi-carried
+    # values" avenue of ROUND_NOTES.md.
+    e, out = _carry_exact_out(
+        _fit(lo, 16) + _down(c, 1, 16) + _embed_c(top), 16
+    )
+    # Same second-fold lemma as _fold_small_arr: if the merged pass
+    # carried out of 2^256 the remainder is < 2^253 + eps, so adding
+    # out*(2^32 + 977) cannot carry out again.
+    z = e + _embed_c(out)         # limbs < 2^16 + 977
+    return _carry_exact(z, 16)
 
 
 def canonicalize(x: jnp.ndarray) -> jnp.ndarray:
