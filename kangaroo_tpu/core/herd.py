@@ -16,15 +16,21 @@ converts back to mod-n distances when reporting DPs.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from ..constants import N_ORDER, NB_LIMB, NB_LIMB_D, TAME, WILD
+from ..constants import N_ORDER, NB_LIMB, NB_LIMB_D, P, TAME, WILD
 from ..utils import rng as rng_mod
-from ..utils.intutils import int_to_limbs, ints_to_limbs
+from ..utils.intutils import (
+    int_to_limbs,
+    ints_to_limbs,
+    ints_to_limbs_fast,
+)
 from . import curve
 
 
@@ -49,20 +55,18 @@ def draw_start_distances(
 
     Symmetry mode (Kangaroo.cpp:686-693): tame in [0, N/2), wild
     centered on the translated key: rand(N/2) - N/4.
+
+    Drawn through rand_int_batch: identical word stream and per-lane
+    composition as nb sequential Int::Rand calls, vectorized (the
+    scalar loop was ~20 s of the 2^19-lane solve startup).
     """
-    rnd = rng.rand_int if rng is not None else rng_mod.rand_int
-    out = []
-    for j in range(nb):
-        if symmetry:
-            d = rnd(range_power - 1)
-            if (j + first_type) % 2 == WILD:
-                d = (d - (width_div2 >> 1)) % N_ORDER
-        else:
-            d = rnd(range_power)
-            if (j + first_type) % 2 == WILD:
-                d = (d - width_div2) % N_ORDER
-        out.append(d)
-    return out
+    gen = rng if rng is not None else rng_mod._global
+    nbit = range_power - 1 if symmetry else range_power
+    off = (width_div2 >> 1) if symmetry else width_div2
+    d = gen.rand_int_batch(nbit, nb)
+    wild = (np.arange(nb) + first_type) % 2 == WILD
+    d = np.where(wild, (d - off) % N_ORDER, d)
+    return [int(v) for v in d]
 
 
 _M128 = (1 << 128) - 1
@@ -110,7 +114,8 @@ def create_herd(
     first_type: int = TAME,
     rng: Optional[rng_mod.MT19937] = None,
     symmetry: bool = False,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    device: bool = False,
+):
     """Create starting state arrays (px, py, d_device) for nb kangaroos.
 
     key_point is the translated search key (keyToSearch); may be None
@@ -126,8 +131,83 @@ def create_herd(
     )
     types = np.array([(j + first_type) % 2 for j in range(nb)], dtype=np.uint32)
     return herd_from_distances(
-        d_modn, types, width_div2, key_point, symmetry=symmetry
+        d_modn, types, width_div2, key_point, symmetry=symmetry,
+        device=device,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("has_key", "symmetry"))
+def _positions_device(ks, wild_mask, kx, ky, *, has_key, symmetry):
+    """px/py start positions for a herd, fully on device in ONE dispatch.
+
+    ks: (16, N) scalar limbs; wild_mask: (N,) bool; kx/ky: (16, 1)
+    translated-key limbs (ignored when has_key is False).  Returns
+    (px, py, flip) with flip marking symmetry-normalized lanes
+    (y was > p/2; the caller negates those distances).
+
+    Round 4: this replaces ~100 eager dispatches (byte-window stack,
+    the whole affine add, the sym flip loop) and two 32 MB host
+    detours per herd with one compiled call -- at 2^19 lanes through
+    the relay the eager form dominated the 6-25 min solve startup.
+    """
+    from ..ops import ec, field  # deferred: jax import cost
+
+    n = ks.shape[1]
+    sx, sy, _ = ec.scalar_mult_base_batch(ks)
+    if has_key:
+        # wild: keyToSearch + d*G.  acc_zero is passed as all-False so a
+        # degenerate d == 0 lane runs the plain formula against (0,0),
+        # matching the reference's vector AddDirect, which only
+        # special-cases p1 == 0 (SECP256K1.cpp:296-298).
+        kxb = jnp.broadcast_to(kx, sx.shape)
+        kyb = jnp.broadcast_to(ky, sy.shape)
+        ax, ay, _ = ec.affine_add_batch_masked(
+            sx, sy, jnp.zeros((n,), dtype=bool),
+            kxb, kyb, jnp.zeros((n,), dtype=bool),
+        )
+        px = jnp.where(wild_mask[None, :], ax, sx)
+        py = jnp.where(wild_mask[None, :], ay, sy)
+    else:
+        px, py = sx, sy
+
+    flip = jnp.zeros((n,), dtype=bool)
+    if symmetry:
+        # normalize into the y <= p/2 class (Kangaroo.cpp:730-734).
+        # y > (p-1)/2  <=>  y + (2^256 - 1 - (p-1)/2) carries out of
+        # 2^256; entry limbs are sums of two sub-2^16 digits, inside
+        # the packed-carry contract.
+        thr = (1 << 256) - 1 - ((P - 1) >> 1)
+        t = field._fit(py, 16) + field._const_cols(
+            int_to_limbs(thr), py
+        )
+        _, out = field._carry_exact_out(t, 16)
+        flip = out == 1
+        # exact p - y for flipped lanes: canonicalize(submod) returns
+        # the unique canonical representative, which IS p - y
+        neg_y = field.canonicalize(
+            field.submod(field._const_cols(int_to_limbs(P), py), py)
+        )
+        py = jnp.where(flip[None, :], neg_y, py)
+    return px, py, flip
+
+
+def pack_device_distances(
+    d_modn, types: np.ndarray, width_div2: int, symmetry: bool = False,
+) -> np.ndarray:
+    """Vectorized device_distance + limb packing -> (8, N) uint32.
+
+    Object-array arithmetic on Python ints: bit-exact with the scalar
+    device_distance per lane, without 10^5-scale Python loops.
+    """
+    d = np.array([int(v) for v in d_modn], dtype=object)
+    if symmetry:
+        v = d % N_ORDER
+        v = np.where(v > (N_ORDER >> 1), v - N_ORDER, v)
+    else:
+        v = np.where(
+            np.asarray(types) == WILD, (d + width_div2) % N_ORDER, d
+        )
+    return ints_to_limbs_fast(v & _M128, NB_LIMB_D)
 
 
 def herd_from_distances(
@@ -136,7 +216,8 @@ def herd_from_distances(
     width_div2: int,
     key_point: Optional[curve.PointA],
     symmetry: bool = False,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    device: bool = False,
+):
     """Starting state arrays from explicit mod-n distances and types.
 
     The batched core of create_herd; also used to rebuild dead
@@ -144,61 +225,41 @@ def herd_from_distances(
     (the reference resets are CreateHerd(1) calls, Kangaroo.cpp:467-471
     -- the draw order is preserved by the caller drawing d_modn
     sequentially).
+
+    device=False returns numpy arrays (the historical contract);
+    device=True returns jax device arrays for px/py (the solver's walk
+    consumes them directly -- skips a 64 MB download + re-upload per
+    2^19-lane herd through the relay).
     """
-    from ..ops import ec  # deferred: jax import cost
-
     nb = len(d_modn)
-    ks = jnp.asarray(ints_to_limbs(d_modn))
-    sx, sy, s_zero = ec.scalar_mult_base_batch(ks)
-
     types = np.asarray(types, dtype=np.uint32)
+    ks = jnp.asarray(ints_to_limbs_fast(d_modn))
     wild_mask = jnp.asarray(types == WILD)
+
     if key_point is not None and key_point.is_zero:
         # keyToSearch is the identity (the key IS rangeStart*G): wild
         # positions degenerate to d*G, same as tame
         key_point = None
-    if key_point is not None and bool(np.any(types == WILD)):
-        kx = jnp.asarray(
-            np.broadcast_to(int_to_limbs(key_point.x)[:, None], (NB_LIMB, nb))
-        )
-        ky = jnp.asarray(
-            np.broadcast_to(int_to_limbs(key_point.y)[:, None], (NB_LIMB, nb))
-        )
-        # wild: keyToSearch + d*G.  acc_zero is passed as all-False so a
-        # degenerate d == 0 lane runs the plain formula against (0,0),
-        # matching the reference's vector AddDirect, which only
-        # special-cases p1 == 0 (SECP256K1.cpp:296-298).
-        ax, ay, a_zero = ec.affine_add_batch_masked(
-            sx, sy, jnp.zeros((nb,), dtype=bool),
-            kx, ky, jnp.zeros((nb,), dtype=bool),
-        )
-        px = jnp.where(wild_mask[None, :], ax, sx)
-        py = jnp.where(wild_mask[None, :], ay, sy)
+    has_key = key_point is not None and bool(np.any(types == WILD))
+    if has_key:
+        kx = jnp.asarray(int_to_limbs(key_point.x)[:, None])
+        ky = jnp.asarray(int_to_limbs(key_point.y)[:, None])
     else:
-        px, py = sx, sy
-
-    px_np, py_np = np.asarray(px), np.array(py)  # py: writable copy
-    if symmetry:
-        # normalize starts into the y <= p/2 equivalence class
-        from ..constants import P
-        from ..utils.intutils import limbs_to_ints_fast
-
-        ys = limbs_to_ints_fast(py_np)
-        d_modn = list(d_modn)
-        for i in range(nb):
-            y = int(ys[i])
-            if y > P >> 1:
-                py_np[:, i] = int_to_limbs(P - y)
-                d_modn[i] = (-d_modn[i]) % N_ORDER
-
-    d_dev = np.stack(
-        [
-            int_to_limbs(
-                device_distance(dm, int(t), width_div2, symmetry=symmetry),
-                NB_LIMB_D,
-            )
-            for dm, t in zip(d_modn, types)
-        ],
-        axis=1,
+        z16 = np.zeros((NB_LIMB, 1), dtype=np.uint32)
+        kx = jnp.asarray(z16)
+        ky = jnp.asarray(z16)
+    px, py, flip = _positions_device(
+        ks, wild_mask, kx, ky, has_key=has_key, symmetry=symmetry
     )
-    return px_np, py_np, d_dev
+
+    if symmetry:
+        flip_np = np.asarray(flip)
+        if np.any(flip_np):
+            d_arr = np.array([int(v) for v in d_modn], dtype=object)
+            d_modn = list(np.where(flip_np, (-d_arr) % N_ORDER, d_arr))
+    d_dev = pack_device_distances(
+        d_modn, types, width_div2, symmetry=symmetry
+    )
+    if device:
+        return px, py, jnp.asarray(d_dev)
+    return np.asarray(px), np.asarray(py), d_dev

@@ -420,7 +420,10 @@ class KangarooSolver:
                 d_np = np.concatenate([d_np, fd], axis=1)
             px, py, d = jnp.asarray(px_np), jnp.asarray(py_np), jnp.asarray(d_np)
         else:
-            px_np, py_np, d_np = herd_mod.create_herd(
+            # device=True: px/py never leave the device (skips a 64 MB
+            # download + 84 MB re-upload per 2^19-lane herd -- half the
+            # relay-bound solve startup)
+            px, py, d = herd_mod.create_herd(
                 opts.nb_kangaroo,
                 self.range_power,
                 self.width_div2,
@@ -428,8 +431,8 @@ class KangarooSolver:
                 TAME,
                 rng,
                 symmetry=opts.symmetry,
+                device=True,
             )
-            px, py, d = jnp.asarray(px_np), jnp.asarray(py_np), jnp.asarray(d_np)
         symclass = jnp.zeros((opts.nb_kangaroo,), dtype=jnp.uint32)
         # the restored herd is absorbed into px/py/d; keep it from
         # being re-applied (stale) by a later solve() call

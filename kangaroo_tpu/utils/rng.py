@@ -39,15 +39,30 @@ class MT19937:
         self._pos = _N
 
     def _regen(self) -> None:
-        key = self._key.astype(np.uint64)
-        # Twist, done wordwise (the recurrence feeds back within one block
-        # for indices >= _M so a fully vectorized pass needs two stages;
-        # plain loop in numpy-uint64 is fast enough for the cold path).
-        k = key
-        for i in range(_N):
-            y = (k[i] & _UPPER) | (k[(i + 1) % _N] & _LOWER)
-            k[i] = k[(i + _M) % _N] ^ (y >> 1) ^ ((y & 1) * _MATRIX_A)
-        self._key = (k & _MASK32).astype(np.uint32)
+        # Twist, vectorized in the classic three parts: indices
+        # [0, N-M) read only pre-twist state; [N-M, N-1) feed back from
+        # the already-twisted head; N-1 additionally reads the new
+        # word 0.  Bit-identical to the sequential recurrence.
+        old = self._key.astype(np.uint64)
+        new = np.empty(_N, dtype=np.uint64)
+        A = np.uint64(_MATRIX_A)
+
+        def twist(y):
+            return (y >> np.uint64(1)) ^ ((y & np.uint64(1)) * A)
+
+        y1 = (old[: _N - _M] & _UPPER) | (old[1: _N - _M + 1] & _LOWER)
+        new[: _N - _M] = old[_M:] ^ twist(y1)
+        # the tail feeds back from already-twisted words at stride
+        # N - M, so it runs in chunks of that size (each chunk's inputs
+        # are complete before it starts)
+        step = _N - _M
+        for lo in range(step, _N - 1, step):
+            hi = min(lo + step, _N - 1)
+            y2 = (old[lo:hi] & _UPPER) | (old[lo + 1: hi + 1] & _LOWER)
+            new[lo:hi] = new[lo - step: hi - step] ^ twist(y2)
+        y3 = (old[_N - 1] & _UPPER) | (new[0] & _LOWER)
+        new[_N - 1] = new[_M - 1] ^ twist(y3)
+        self._key = (new & _MASK32).astype(np.uint32)
         self._pos = 0
 
     def next_u32(self) -> int:
@@ -62,6 +77,45 @@ class MT19937:
         y &= _MASK32
         y ^= y >> 18
         return y
+
+    def next_block(self, count: int) -> np.ndarray:
+        """The next `count` tempered u32 words as one (count,) array.
+
+        Identical stream to `count` next_u32() calls; the tempering
+        runs vectorized over whole buffer slices.
+        """
+        out = np.empty(count, dtype=np.uint32)
+        done = 0
+        while done < count:
+            if self._pos == _N:
+                self._regen()
+            take = min(count - done, _N - self._pos)
+            y = self._key[self._pos: self._pos + take].astype(np.uint64)
+            y ^= y >> np.uint64(11)
+            y ^= (y << np.uint64(7)) & np.uint64(0x9D2C5680)
+            y ^= (y << np.uint64(15)) & np.uint64(0xEFC60000)
+            y &= np.uint64(_MASK32)
+            y ^= y >> np.uint64(18)
+            out[done: done + take] = y.astype(np.uint32)
+            self._pos += take
+            done += take
+        return out
+
+    def rand_int_batch(self, nbit: int, count: int) -> np.ndarray:
+        """`count` rand_int(nbit) draws as an object array of ints.
+
+        Same word stream and per-draw composition as `count` scalar
+        rand_int calls (nbit//32 full words LSW first + one masked
+        extra word each), vectorized for 10^5-scale herds.
+        """
+        nb = nbit // 32
+        mask = (1 << (nbit % 32)) - 1
+        words = self.next_block((nb + 1) * count).reshape(count, nb + 1)
+        vals = np.zeros(count, dtype=object)
+        for i in range(nb):
+            vals |= words[:, i].astype(object) << (32 * i)
+        vals |= (words[:, nb].astype(object) & mask) << (32 * nb)
+        return vals
 
     def next_double(self) -> float:
         """Uniform double in ]0,1[ (reference: Random.cpp:97-102)."""

@@ -59,3 +59,21 @@ def test_twist_after_2000():
 def test_to_double():
     v = 0x123456789ABCDEF0123456789ABCDEF0123456789
     assert int_to_double_words(v) == 1.6628640851409384e48
+
+
+def test_block_draw_matches_scalar_stream():
+    a = MT19937(0xABCD)
+    b = MT19937(0xABCD)
+    # spans several regens (624-word blocks) and odd offsets
+    assert list(a.next_block(5)) == [b.next_u32() for _ in range(5)]
+    assert list(a.next_block(1500)) == [b.next_u32() for _ in range(1500)]
+    assert a.next_u32() == b.next_u32()
+
+
+def test_rand_int_batch_matches_scalar():
+    a = MT19937(0x600DCAFE)
+    b = MT19937(0x600DCAFE)
+    for nbit in (29, 40, 64, 65, 72, 127):
+        got = list(a.rand_int_batch(nbit, 50))
+        want = [b.rand_int(nbit) for _ in range(50)]
+        assert got == want, nbit
