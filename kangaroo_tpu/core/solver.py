@@ -526,13 +526,17 @@ class KangarooSolver:
         sink_end = False
 
         # One fixed gather width for the whole solve: a varying (or
-        # pow2-laddered) width would compile a fresh gather per new
-        # size -- ~30-90 s each through a remote compile service.
-        # Sized at ~2x the expected hits per window; overflow is
-        # handled by gathering in chunks of the same width.
+        # laddered) width would compile a fresh gather per new size --
+        # ~30-90 s each through a remote compile service.  Snug sizing
+        # (round 4): 1.15x the expected hits rounded to a 4096
+        # multiple, not the next power of two -- the pow2 ladder
+        # shipped up to 2x dead padding per tick through the relay
+        # (transfer scales with the pad, and the pad is the payload).
+        # 15% is ~150 Poisson sigmas at production DP rates; the rare
+        # overflow tick gathers in chunks of the same width.
         exp_hits = n * opts.nb_run * kw / float(1 << dp_size)
         pull_pad = opts.pull_pad or min(
-            max(128, 1 << int(math.ceil(math.log2(2.0 * exp_hits + 64)))),
+            max(128, int(math.ceil((1.15 * exp_hits + 64) / 4096)) * 4096),
             n,
         )
 
@@ -572,22 +576,28 @@ class KangarooSolver:
             dp2 = dg[0::2] | (dg[1::2] << 16)  # (4, P)
             return xp, dp2, sg.astype(jnp.uint16)    # steps < nb_run
 
+        @jax.jit
+        def pack_counts(count):
+            # nibble-packed counts: halves the per-tick blocking
+            # readback (the largest fixed transfer of the loop).  The
+            # lost-DP counter saturates at 15 hits/lane/window -- the
+            # slot budget is <= 8 by the window-split rule, and
+            # P(>15 Poisson hits) at any sane DP rate is ~1e-30.
+            c = jnp.minimum(count.reshape(-1), 15).astype(jnp.uint8)
+            return c[0::2] | (c[1::2] << 4)
+
         def enqueue_pull(pend):
             """Stage 2: read a tick's DP counts, enqueue per-DP gathers.
 
-            Blocks only on the count transfer (u8-packed, saturating:
-            the lost-DP counter saturates at 255 hits/lane/window, far
-            beyond any slot budget); the gathers go out as ONE dispatch
-            and stay in flight so they overlap the next tick on the
-            device queue.
+            Blocks only on the (nibble-packed) count transfer; the
+            gathers go out as ONE dispatch and stay in flight so they
+            overlap the next tick on the device queue.
             """
             count, dpx, dpd, dp_step = pend
-            count_np = self._host_read(
-                lambda: np.asarray(
-                    jnp.minimum(count, 255).astype(jnp.uint8)
-                )
-            )
-            count_np = count_np.reshape(-1)  # (kw, n) -> window-lane
+            pk = self._host_read(lambda: np.asarray(pack_counts(count)))
+            count_np = np.empty(pk.size * 2, dtype=np.uint8)
+            count_np[0::2] = pk & np.uint8(15)
+            count_np[1::2] = pk >> np.uint8(4)
             cnt = np.minimum(count_np, n_slots).astype(np.int64)
             wl = np.nonzero(cnt)[0]          # hit window-lanes
             if not wl.size:
@@ -604,7 +614,9 @@ class KangarooSolver:
             chunks = []
             for off in range(0, m, pull_pad):
                 part = flat[off:off + pull_pad]
-                idx = np.zeros(pull_pad, dtype=np.int64)
+                # int32 halves the index upload; flat < kw*slots*n
+                # <= 2^29 at any supported geometry
+                idx = np.zeros(pull_pad, dtype=np.int32)
                 idx[:len(part)] = part
                 chunks.append(
                     (len(part),)
