@@ -550,24 +550,26 @@ class KangarooSolver:
         # rate.)  Only the x limbs the table needs travel: stored X is
         # the low 128 bits and the bucket is bits 128..145
         # (HashTable.cpp:75-100), i.e. limbs 0..9.
+        XR = jump_ref.DPX_ROWS  # captured x rows (x128 + bucket bits)
+
         @jax.jit
         def gather_fn(dpx, dpd, dp_step, flat_idx):
             if kw > 1:
                 # stacked (kw, slots*R, n) windows -> (R, kw*slots*n)
-                dpx = dpx.reshape(kw, n_slots, 16, n)
+                dpx = dpx.reshape(kw, n_slots, XR, n)
                 dpd = dpd.reshape(kw, n_slots, 8, n)
-                xg = jnp.moveaxis(dpx, 2, 0).reshape(16, kw * n_slots * n)
+                xg = jnp.moveaxis(dpx, 2, 0).reshape(XR, kw * n_slots * n)
                 dg = jnp.moveaxis(dpd, 2, 0).reshape(8, kw * n_slots * n)
                 sf = dp_step.reshape(kw * n_slots * n)
             else:
-                xg = dpx.reshape(n_slots, 16, n).swapaxes(0, 1).reshape(
-                    16, n_slots * n
+                xg = dpx.reshape(n_slots, XR, n).swapaxes(0, 1).reshape(
+                    XR, n_slots * n
                 )
                 dg = dpd.reshape(n_slots, 8, n).swapaxes(0, 1).reshape(
                     8, n_slots * n
                 )
                 sf = dp_step.reshape(n_slots * n)
-            xg = jnp.take(xg[:10], flat_idx, axis=1)
+            xg = jnp.take(xg, flat_idx, axis=1)
             dg = jnp.take(dg, flat_idx, axis=1)
             sg = jnp.take(sf, flat_idx)
             # halve the payload further: the limb rows hold 16-bit

@@ -33,6 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import NB_JUMP
 from . import field
 from . import jump_ref as jump_ref_mod
+
+XR = jump_ref_mod.DPX_ROWS  # x limb rows captured per DP slot
 from .jump_ref import is_dp
 
 # Lanes per kernel block.  State + DP slots are ~260 B/lane and the
@@ -285,7 +287,7 @@ def _jump_kernel_body(
     # ~51 rows x block live across every step, and that register/VMEM
     # pressure made every other op in the kernel ~3x its isolated cost
     # (measured with the KT_PROBE deltas).
-    dpx_ref[:, :] = jnp.zeros((slots * 16, n), jnp.uint32)
+    dpx_ref[:, :] = jnp.zeros((slots * XR, n), jnp.uint32)
     dpd_ref[:, :] = jnp.zeros((slots * 8, n), jnp.uint32)
     step_ref[:, :] = jnp.zeros((slots, n), jnp.uint32)
 
@@ -379,8 +381,11 @@ def _jump_kernel_body(
         for s in range(slots):
             sl = hit & (count == jnp.uint32(s))
             slm = sl[None, :]
-            dpx_ref[16 * s:16 * (s + 1), :] = jnp.where(
-                slm, px, dpx_ref[16 * s:16 * (s + 1), :]
+            # only x limbs 0..XR-1 are ever read back (table entry =
+            # x128 + bucket bits, jump_ref.DPX_ROWS) -- a 24% cut in
+            # the capture buffers' per-step read-modify-write traffic
+            dpx_ref[XR * s:XR * (s + 1), :] = jnp.where(
+                slm, px[:XR], dpx_ref[XR * s:XR * (s + 1), :]
             )
             dpd_ref[8 * s:8 * (s + 1), :] = jnp.where(
                 slm, d, dpd_ref[8 * s:8 * (s + 1), :]
@@ -468,13 +473,13 @@ def jump_steps_with_dp(
         jax.ShapeDtypeStruct((8, n), jnp.uint32),          # d
         jax.ShapeDtypeStruct((1, n), jnp.uint32),          # symclass
         jax.ShapeDtypeStruct((1, n), jnp.uint32),          # count
-        jax.ShapeDtypeStruct((slots * 16, n), jnp.uint32),  # dpx slots
+        jax.ShapeDtypeStruct((slots * XR, n), jnp.uint32),  # dpx slots
         jax.ShapeDtypeStruct((slots * 8, n), jnp.uint32),   # dpd slots
         jax.ShapeDtypeStruct((slots, n), jnp.uint32),       # step slots
     )
     out_specs = (
         state_spec(16), state_spec(16), state_spec(8), state_spec(1),
-        state_spec(1), state_spec(slots * 16), state_spec(slots * 8),
+        state_spec(1), state_spec(slots * XR), state_spec(slots * 8),
         state_spec(slots),
     )
     in_specs = [
@@ -518,7 +523,7 @@ def jump_steps_with_dp(
     out = (
         opx, opy, od,
         cnt[0],
-        dpx.reshape(slots, 16, n),
+        dpx.reshape(slots, XR, n),
         dpd.reshape(slots, 8, n),
         dstep,
     )

@@ -24,6 +24,10 @@ from ..constants import NB_JUMP
 from . import field
 from .ec import affine_add_batch
 
+# x limb rows captured per DP slot: the table entry is x's low 128
+# bits + bucket bits 128..145 (HashTable.cpp:75-100) = limbs 0..9.
+DPX_ROWS = 10
+
 
 def dp_limb_masks(dp_size: int) -> np.ndarray:
     """Per-limb uint32 masks for the top-64-bit DP test.
@@ -138,9 +142,15 @@ def jump_steps_with_dp(
     hit.  Hits beyond the slots are counted (the solver reports them
     lost); the same class of loss exists in the reference's bounded
     GPU output buffer (GPUEngine.cu:641-648).
+
+    dpx carries only x limbs 0..DPX_ROWS-1: the hash-table entry is
+    the low 128 bits of x plus the bucket bits 128..145
+    (HashTable.cpp:75-100) -- rows 10..15 would never be read, and
+    trimming them cuts the capture buffers' read-modify-write traffic
+    in the hot kernel by ~24%.
     """
     n = px.shape[1]
-    dpx = jnp.zeros((slots, 16, n), dtype=jnp.uint32)
+    dpx = jnp.zeros((slots, DPX_ROWS, n), dtype=jnp.uint32)
     dpd = jnp.zeros((slots, 8, n), dtype=jnp.uint32)
     dp_step = jnp.zeros((slots, n), dtype=jnp.uint32)
     count = jnp.zeros((n,), dtype=jnp.uint32)
@@ -158,7 +168,9 @@ def jump_steps_with_dp(
         hit = is_dp(px, dp_masks)
         for s in range(slots):
             sel = hit & (count == jnp.uint32(s))
-            dpx = dpx.at[s].set(jnp.where(sel[None, :], px, dpx[s]))
+            dpx = dpx.at[s].set(
+                jnp.where(sel[None, :], px[:DPX_ROWS], dpx[s])
+            )
             dpd = dpd.at[s].set(jnp.where(sel[None, :], d, dpd[s]))
             dp_step = dp_step.at[s].set(
                 jnp.where(sel, jnp.uint32(i), dp_step[s])
