@@ -67,20 +67,15 @@ INV_SCALE = pow(2, -(DIVSTEP_ROUNDS * DIVSTEP_W), P)
 INV_SCALE_LIMBS = np.array(
     [(INV_SCALE >> (16 * i)) & 0xFFFF for i in range(16)], dtype=np.uint32
 )
-# 2^15 * p as 17 16-bit limbs (positivity offset in the d/e update).
-_P15 = P << 15
-P15_LIMBS = np.array([(_P15 >> (16 * i)) & 0xFFFF for i in range(18)], dtype=np.uint32)
-# Compensation for the +1-per-limb positivity nudge in _matmul_de:
-# (-sum_{i<18} 2^16i) mod p, merged into the additive constant so the
-# packed carry can run on non-negative columns.
-_OFFSET1 = ((1 << 288) - 1) // ((1 << 16) - 1)
-_CORR1 = (-_OFFSET1) % P
-DE_CONST = np.array(
-    [
-        int(P15_LIMBS[i]) + ((_CORR1 >> (16 * i)) & 0xFFFF if i < 16 else 0)
-        for i in range(18)
-    ],
-    dtype=np.int64,
+# Positivity nudge for the one-time signed -> canonical conversion
+# after the divstep loop (_signed_to_canonical): +K per limb with the
+# compensating (-K * sum 2^16k) mod p constant folded in, so the
+# packed exact carry runs on non-negative columns.
+_NUDGE_K = 4096
+_OFF16 = ((1 << 256) - 1) // ((1 << 16) - 1)  # sum_{k<16} 2^16k
+_NCORR = (-_NUDGE_K * _OFF16) % P
+NUDGE_CORR_LIMBS = np.array(
+    [(_NCORR >> (16 * i)) & 0xFFFF for i in range(16)], dtype=np.uint32
 )
 
 
@@ -287,6 +282,27 @@ def submod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def addsub_sel(a: jnp.ndarray, b: jnp.ndarray,
+               add_flag: jnp.ndarray) -> jnp.ndarray:
+    """Lane-select (a + b) mod p (add_flag == 1) or (a - b) mod p.
+
+    Relaxed inputs < 2^256, relaxed output < 2^256.  Both branches
+    share ONE fold tail: the subtract side contributes 2p + (~b) + 1
+    (structurally positive, exactly as submod), the add side b -- so a
+    deferred-sign consumer pays one 16-row select over plain submod
+    instead of a separate addmod + where.
+    """
+    sel = (add_flag == 1)[None, :]
+    addend = jnp.where(
+        sel, b, _const_cols(TWOP_LOW_LIMBS, b) + (_M16 ^ b) + _one_row0(b)
+    )
+    t = a + addend                     # < 2^18 either branch
+    c = t >> 16                        # row digits <= 3
+    return _fold_small_arr(
+        _fit(t & _M16, 16) + _down(c, 1, 16), c[15]
+    )
+
+
 def negmod(a: jnp.ndarray) -> jnp.ndarray:
     """(-a) mod p for canonical a."""
     zero = jnp.zeros_like(a)
@@ -305,18 +321,30 @@ def mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     b * a_i, split into 16-bit halves (the only operation that must
     happen per product at full precision), then the shifted partial
     products are combined with a balanced adder tree whose operand
-    widths grow from Rb+1 to Ra+Rb rows -- most adds run at half the
+    widths grow from Rb to Ra+Rb rows -- most adds run at half the
     width of a naive full-width accumulator.  All limbs must be < 2^16.
+
+    Split fusion (round 5): hi_i sits exactly one row above lo_i, i.e.
+    at the BASE row of partial i+1 -- so fold it into that partial's lo
+    with one whole-width add (lo_{i+1} + hi_i, both Rb rows, aligned)
+    instead of materializing each partial as _fit(lo) + _down(hi)
+    (two Rb-row copies per partial).  Ra partials become Ra+1 aligned
+    Rb-row terms at offsets 0..Ra; limbs < 2^17 - 2 as before, level-k
+    tree sums < (Ra+1) * 2^17 <= 2^22 -- inside reduce_512's relaxed
+    column contract.
     """
     ra, rb = a.shape[0], b.shape[0]
     out_rows = ra + rb
-    terms = []
+    los = []
+    his = []
     for i in range(ra):
         t = b * a[i][None, :]          # (Rb, N) full 32-bit products
-        lo = t & _M16
-        hi = t >> 16
-        # value_i = (lo + hi*2^16) * 2^(16*i); keep as Rb+1 rows < 2^17
-        terms.append(_fit(lo, rb + 1) + _down(hi, 1, rb + 1))
+        los.append(t & _M16)
+        his.append(t >> 16)
+    terms = [los[0]]
+    for i in range(1, ra):
+        terms.append(los[i] + his[i - 1])   # < 2^17 - 2
+    terms.append(his[ra - 1])
     # Balanced adder tree.  terms[j] at level with row-gap `gap` holds
     # the partial sum whose absolute placement is gap*j rows; adjacent
     # terms are combined with a relative down-shift of `gap` rows.
@@ -327,7 +355,7 @@ def mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             if i + 1 < len(terms):
                 lo_t = terms[i]
                 hi_t = terms[i + 1]
-                rows = min(hi_t.shape[0] + gap, out_rows)
+                rows = min(max(lo_t.shape[0], hi_t.shape[0] + gap), out_rows)
                 nxt.append(_fit(lo_t, rows) + _down(hi_t, gap, rows))
             else:
                 nxt.append(terms[i])
@@ -603,42 +631,73 @@ def _matmul_fg(u, v, q, r, f, g):
     return sh[:, :n], sh[:, n:]
 
 
+def _embed_c_i32(top: jnp.ndarray) -> jnp.ndarray:
+    """(N,) signed scalar t -> 16-row int32 array of t*c = t*977 + t*2^32."""
+    z = jnp.zeros_like(top)[None, :]
+    return jnp.concatenate(
+        [(top * jnp.int32(C_LOW))[None, :], z, top[None, :]] + [z] * 13,
+        axis=0,
+    )
+
+
 def _matmul_de(u, v, q, r, d, e):
     """Apply the matrix to the mod-p trackers d,e (no 2^-w: deferred).
 
-    d,e: uint32 (16, N) relaxed (< 2^256).  Computes
-    (u*d + v*e) mod p and (q*d + r*e) mod p, keeping results < 2^256.
-    Signedness: add 2^15*p so columns stay positive before carrying.
-    Both outputs share one joint carry chain via lane concatenation.
+    d,e: int32 (16, N) RELAXED SIGNED limbs (round 5): the limbs
+    represent the value as sum(l_k * 2^16k) with each |l_k| <
+    2^16 + 2^12 and the value only tracked mod p -- the exact mod-p
+    normalization happens ONCE after the divstep loop
+    (_signed_to_canonical), not per round.  Per round: the int32
+    matrix products, two relaxed signed passes, and two small 2^256
+    folds -- no exact carries, no positivity offsets, 16 rows instead
+    of 18.  (The former u32 path paid 4 packed exact-carry passes at
+    17-18 rows per round, the heaviest per-round block of the whole
+    divstep.)  Both outputs share every pass via lane concatenation.
+
+    Bounds (steady state L = 2^16 + 2^12):
+      columns |u*d + v*e| <= (|u|+|v|) * L <= 2^14 * L < 2^30.1  (the
+        safegcd transition matrix satisfies |u|+|v| <= 2^w, w = 14)
+      pass 1: rows in (-2^14.2, 2^16 + 2^14.2), top carry |c15| <=
+        2^14.1, folded as c15 * c (977 into row 0, +1 into row 2):
+        row 0 gains +-2^24.1
+      pass 2: rows in (-2^8.2, 2^16 + 2^8.2), top carry c2 in
+        {-1, 0, 1}, folded the same way: final rows within
+        (-2^10, 2^16 + 2^10) < L.  Fixpoint holds with margin.
     """
     n = d.shape[1]
-    di, ei = _i(d), _i(e)
-    cols_d = u[None, :] * di + v[None, :] * ei   # |.| < 2^15*p limb-wise
-    cols_e = q[None, :] * di + r[None, :] * ei
-    s = jnp.concatenate([cols_d, cols_e], axis=1)  # (16, 2N)
-    z = jnp.zeros_like(s[0:1])
-    k = jnp.concatenate(
-        [z + jnp.int32(int(DE_CONST[i])) for i in range(18)], axis=0
-    )
-    s = jnp.concatenate([s, z, z], axis=0) + k    # (18, 2N), value >= 0
+    di = jnp.concatenate([d, d], axis=1)          # (16, 2N)
+    ei = jnp.concatenate([e, e], axis=1)
+    m1 = jnp.concatenate([u, q])
+    m2 = jnp.concatenate([v, r])
+    s = di * m1[None, :] + ei * m2[None, :]       # |.| < 2^30.1
+    # pass 1 + fold of the 2^256 carry (2^256 === c mod p)
+    c = s >> 16
+    s = (s & jnp.int32(0xFFFF)) + _down(c[:15], 1, 16) + _embed_c_i32(c[15])
+    # pass 2 + fold (top carry now in {-1, 0, 1})
+    c = s >> 16
+    s = (s & jnp.int32(0xFFFF)) + _down(c[:15], 1, 16) + _embed_c_i32(c[15])
+    return s[:, :n], s[:, n:]
 
-    # Individual limbs may be negative (only the 2^15*p-offset TOTAL is
-    # non-negative), so: two signed relaxed passes bring limbs to
-    # [-1, 2^16], a +1 per limb (compensated inside DE_CONST) makes
-    # them non-negative, and the packed exact carry finishes.  Value
-    # < 2^274 so nothing leaves row 17.
-    s = (s & jnp.int32(0xFFFF)) + _down(s >> 16, 1, 18)
-    s = (s & jnp.int32(0xFFFF)) + _down(s >> 16, 1, 18)
-    w = _carry_exact(_u(s + jnp.int32(1)), 18)
-    h = w[16:18]
-    f2 = (
-        _fit(w[:16], 17)
-        + _fit(h * jnp.uint32(C_LOW), 17)
-        + _down(h, 2, 17)
-    )
-    m = _carry_full(f2, 17)
-    res = _fold_small_arr(m[:16], m[16])  # < 2^256 (not nec. < p; fine)
-    return res[:, :n], res[:, n:]
+
+def _signed_to_canonical(d: jnp.ndarray) -> jnp.ndarray:
+    """Relaxed-signed (16, N) int32 limbs -> canonical uint32 (< p).
+
+    Runs ONCE per modinv (on the narrow divstep root block).  Value
+    chain (bounds from _matmul_de: |l_k| < 2^16 + 2^12, so V0 in
+    (-2^253, 2^256 + 2^253)):
+      t = d + p + corr rows:        V1 = V0 + p + corr in (2^253, 2^258)
+      relaxed pass + 2^256 fold:    V2 === V1 (mod p), rows in
+        [-1956, 2^16 + 4890], so V2 > -2^251
+      +K per limb (K = 4096):       V3 = V2 + K*OFF in (0, 2^257),
+        rows in [2140, 74522] -- non-negative and under the packed
+        exact-carry 2^17 - 2 entry bound; corr = (-K*OFF) mod p makes
+        V3 === V0 (mod p).  V3 < 2^257 keeps the carry-out binary.
+    """
+    t = d + _i(_const_cols(P_LIMBS, d)) + _i(_const_cols(NUDGE_CORR_LIMBS, d))
+    c = t >> 16
+    t = (t & jnp.int32(0xFFFF)) + _down(c[:15], 1, 16) + _embed_c_i32(c[15])
+    w, o = _carry_exact_out(_u(t + jnp.int32(_NUDGE_K)), 16)
+    return _cond_sub_p_arr(_fold_small_arr(w, o))
 
 
 # (A packed (3,N)-row divstep inner loop -- KT_DSPACK -- was measured
@@ -696,11 +755,14 @@ def modinv(a: jnp.ndarray) -> jnp.ndarray:
         axis=0,
     )
     g = jnp.concatenate([_i(a), jnp.zeros((1, n), dtype=_I32)], axis=0)
-    d = jnp.zeros_like(a)
+    # d, e track the Bezout coefficients mod p in relaxed SIGNED int32
+    # limb form (see _matmul_de); exact normalization happens once
+    # after the loop
+    d = jnp.zeros((16, n), dtype=_I32)
     # e = 1 built without scatter (.at[].set lowers to an op Pallas
     # TPU kernels cannot express)
     e = jnp.concatenate(
-        [jnp.ones((1, n), dtype=_U32), jnp.zeros((15, n), dtype=_U32)],
+        [jnp.ones((1, n), dtype=_I32), jnp.zeros((15, n), dtype=_I32)],
         axis=0,
     )
     delta = jnp.ones((n,), dtype=_I32)  # t = 2*delta with delta0 = 1/2
@@ -719,7 +781,7 @@ def modinv(a: jnp.ndarray) -> jnp.ndarray:
     for i in range(16):
         carry = (f[i] + carry) >> 16
     neg = (f[16] + carry) < 0
-    d_canon = _cond_sub_p_arr(d)
+    d_canon = _signed_to_canonical(d)
     d_neg = negmod(d_canon)
     res = jnp.where(neg[None, :], d_neg, d_canon)
     # Build the constant from scalar fills (not a captured array) so this
@@ -811,6 +873,29 @@ _HALF_TEST = (1 << 256) - ((P + 1) >> 1)
 HALF_TEST_LIMBS = np.array(
     [(_HALF_TEST >> (16 * i)) & 0xFFFF for i in range(16)], dtype=np.uint32
 )
+
+
+def carry_out_probe(x: jnp.ndarray, rows: int = 16) -> jnp.ndarray:
+    """(N,) uint32 carry OUT of the top row of an exact carry of x --
+    without recovering the per-limb carries (skips the cin unpack and
+    the final limb add of _carry_exact_out, ~40% of the pass).
+
+    Same entry contract as _carry_exact: limbs <= 2^17 - 2.  Used by
+    the deferred-flip symmetry walk to test y >= p and y >= (p+1)/2 on
+    a relaxed value without materializing the canonical form.
+    """
+    assert rows <= 31
+    x = _fit(x, rows)
+    lo = x & _M16
+    g = x >> 16
+    p_ = (lo + jnp.uint32(1)) >> 16
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (rows, x.shape[1]), 0)
+    gpk = _u(jnp.sum(_i(g << iota), axis=0))
+    ppk = _u(jnp.sum(_i(p_ << iota), axis=0))
+    inj = gpk << 1
+    z = ppk + inj
+    cin_pk = inj | (z ^ ppk ^ inj)
+    return (cin_pk >> jnp.uint32(rows)) & jnp.uint32(1)
 
 
 def y_is_high(y: jnp.ndarray) -> jnp.ndarray:

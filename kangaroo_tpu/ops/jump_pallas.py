@@ -78,8 +78,8 @@ LOOPCHUNK = __import__("os").environ.get("KT_LOOPCHUNK", "0") == "1"
 LOOPCHUNK_UNROLL = int(
     __import__("os").environ.get("KT_LOOPCHUNK_UNROLL", "1")
 )
-_POOL_IN_ROWS = 104   # sym walk tail stages 5x16 + 2x8 + 1 rows
-_POOL_OUT_ROWS = 48   # sym walk tail returns x3|y3|d|sc stacked (41)
+_POOL_IN_ROWS = 112   # sym walk tail stages 5x16 + 3x8 + 2x1 rows (106)
+_POOL_OUT_ROWS = 48   # sym walk tail returns x3|y3|d-packed stacked (40)
 # Measured-and-rejected kernel variants (code in git history, numbers
 # in hw_evidence/sweep_r03.txt and ROUND_NOTES.md):
 # - KT_SPLITS (independent sub-herd pipelines for ILP): 79.2/57.8 vs
@@ -279,8 +279,17 @@ def _jump_kernel_body(
     masks = mask_ref[0, :]
     n = px_ref.shape[1]
     # one fused gather per step: stack the three jump tables so a
-    # single one-hot build and one lo/hi dot pair fetch qx|qy|qd
-    jtbl = jnp.concatenate([jx, jy, jd], axis=0)  # (40, 32)
+    # single one-hot build and one lo/hi dot pair fetch qx|qy|qd.
+    # Symmetry mode also stacks the NEGATED distances (computed once
+    # here on the (8, 32) table): the deferred-sign walk adds -qd for
+    # sigma-flipped lanes instead of running neg_u128 on (8, N) every
+    # step.
+    if symmetry:
+        jtbl = jnp.concatenate(
+            [jx, jy, jd, field.neg_u128(jd)], axis=0
+        )  # (48, 32)
+    else:
+        jtbl = jnp.concatenate([jx, jy, jd], axis=0)  # (40, 32)
 
     # DP slots are initialized once and then READ-MODIFY-WRITTEN in
     # VMEM inside the loop: keeping them as loop-carried values held
@@ -291,8 +300,26 @@ def _jump_kernel_body(
     dpd_ref[:, :] = jnp.zeros((slots * 8, n), jnp.uint32)
     step_ref[:, :] = jnp.zeros((slots, n), jnp.uint32)
 
+    # Deferred-flip symmetry (round 5): inside the window the walk
+    # NEVER negates y or d.  Stored py is the un-flipped relaxed y3;
+    # a per-lane bit h (last step flipped) turns the next step's
+    # dy = qy - y_true into the fused select qy -+ py (y_true === p - y
+    # => qy - y_true === qy + py mod p), the class test runs as two
+    # carry-out probes on the relaxed y3 (high = [y3 mod p > p/2] =
+    # [y3 >= (p+1)/2] & ~[y3 >= p]), and d adds the pre-negated jump
+    # distance for sigma-flipped lanes (sigma = cumulative flips, bit
+    # sg).  The canonical state materializes ONCE per window in the
+    # epilogue; captured DPs carry their sigma in step bit 15 and are
+    # decoded in the slot epilogue -- so the kernel's output contract
+    # (reference semantics, Kangaroo.cpp:422-428) is unchanged.  This
+    # replaces the former per-step canonicalize + y_is_high + neg_y +
+    # neg_u128 + two wide selects.
+    deferred = symmetry and not _PROBE and (
+        WALKW and n > WALKW and n % WALKW == 0
+    )
+
     def body(i, st):
-        px, py, d, sc, count = st
+        px, py, d, sc, h, sg, count = st
         if symmetry:
             jmp = (px[0] & jnp.uint32(NB_JUMP // 2 - 1)) + (
                 sc * jnp.uint32(NB_JUMP // 2)
@@ -303,62 +330,73 @@ def _jump_kernel_body(
         qx, qy, qd = q[:16], q[16:32], q[32:40]
 
         sym_done = False
-        if WALKW and n > WALKW and n % WALKW == 0:
+        stepval = jnp.uint32(i)
+        if deferred:
+            dx = field.submod(qx, px)
+            inv = field.batch_inv(dx, stop=min(INV_STOP, n))
+            qdn = q[40:48]
+
+            def tail(pyc, invc, pxc, qxc, qyc, dc, qdc, qdnc, hr, sgr):
+                dy = field.addsub_sel(qyc, pyc, hr[0])
+                lam = field.mulmod(dy, invc)
+                xc = field.canonicalize(
+                    field.sqrmod(lam, sub=(pxc, qxc))
+                )
+                # y3 = lam*(qx - x3) - qy uses Q's canonical y only,
+                # so the un-flipped y3 needs no y_true materialization
+                yc = field.mulmod(
+                    lam, field.submod(qxc, xc), sub=(qyc,)
+                )
+                o1 = field.carry_out_probe(
+                    yc + field._embed_c(jnp.ones_like(yc[0]))
+                )
+                k1 = field.carry_out_probe(
+                    yc + field._const_cols(field.HALF_TEST_LIMBS, yc)
+                )
+                high = k1 & (jnp.uint32(1) ^ o1)
+                dsel = jnp.where((sgr == 1), qdnc, qdc)
+                dn = field.add_u128(dc, dsel)
+                # pack the flip bit into d row 0's free upper half
+                dpk = jnp.concatenate(
+                    [(dn[0] | (high << jnp.uint32(16)))[None, :], dn[1:]],
+                    axis=0,
+                )
+                return jnp.concatenate([xc, yc, dpk], axis=0)  # (40, W)
+
+            out = field._lane_chunks(WALKW, tail)(
+                py, inv, px, qx, qy, d, qd, qdn,
+                h[None, :], sg[None, :],
+            )
+            px, py = out[:16], out[16:32]
+            high = (out[32] >> jnp.uint32(16)) & jnp.uint32(1)
+            d = jnp.concatenate(
+                [(out[32] & jnp.uint32(0xFFFF))[None, :], out[33:40]],
+                axis=0,
+            )
+            sc = sc ^ high
+            sg = sg ^ high
+            h = high
+            stepval = jnp.uint32(i) | (sg << jnp.uint32(15))
+            sym_done = True
+        elif WALKW and n > WALKW and n % WALKW == 0:
             # shared batched inversion, then the elementwise walk tail
             # in WALKW-lane chunks (chunk intermediates stay resident;
             # one concat per carried array instead of one per mulmod)
             dx = field.submod(qx, px)
             inv = field.batch_inv(dx, stop=min(INV_STOP, n))
 
-            if symmetry and not _PROBE:
-                # fold the distance add AND the equivalence-class
-                # normalization (Kangaroo.cpp:422-428) into the chunked
-                # tail: the sym flip is elementwise in lanes, and
-                # running it at full block width kept ~15 (16, N)
-                # intermediates live -- measured 178.0 MiB at block
-                # 65536 vs the 124 MiB VMEM cap, forcing sym runs down
-                # to 32768.  Chunked, the sym geometry matches plain.
-                def tail(pyc, invc, pxc, qxc, qyc, dc, qdc):
-                    lam = field.mulmod(field.submod(qyc, pyc), invc)
-                    xc = field.canonicalize(
-                        field.sqrmod(lam, sub=(pxc, qxc))
-                    )
-                    yc = field.mulmod(
-                        lam, field.submod(qxc, xc), sub=(qyc,)
-                    )
-                    dc = field.add_u128(dc, qdc)
-                    ycan = field.canonicalize(yc)
-                    high = field.y_is_high(ycan)
-                    sel = (high == 1)[None, :]
-                    yc = jnp.where(sel, field.neg_y(ycan), ycan)
-                    dc = jnp.where(sel, field.neg_u128(dc), dc)
-                    # pad the class-flip row to a full sublane tile:
-                    # every concat piece is then 8-row aligned
-                    return jnp.concatenate(
-                        [xc, yc, dc, field._fit(high[None, :], 8)],
-                        axis=0,
-                    )  # (48, W)
-
-                out = field._lane_chunks(WALKW, tail)(
-                    py, inv, px, qx, qy, d, qd
+            def tail(pyc, invc, pxc, qxc, qyc):
+                lam = field.mulmod(field.submod(qyc, pyc), invc)
+                xc = field.canonicalize(
+                    field.sqrmod(lam, sub=(pxc, qxc))
                 )
-                px, py = out[:16], out[16:32]
-                d = out[32:40]
-                sc = sc ^ out[40]
-                sym_done = True
-            else:
-                def tail(pyc, invc, pxc, qxc, qyc):
-                    lam = field.mulmod(field.submod(qyc, pyc), invc)
-                    xc = field.canonicalize(
-                        field.sqrmod(lam, sub=(pxc, qxc))
-                    )
-                    yc = field.mulmod(
-                        lam, field.submod(qxc, xc), sub=(qyc,)
-                    )
-                    return jnp.concatenate([xc, yc], axis=0)  # (32, W)
+                yc = field.mulmod(
+                    lam, field.submod(qxc, xc), sub=(qyc,)
+                )
+                return jnp.concatenate([xc, yc], axis=0)  # (32, W)
 
-                xy = field._lane_chunks(WALKW, tail)(py, inv, px, qx, qy)
-                x3, y3 = xy[:16], xy[16:]
+            xy = field._lane_chunks(WALKW, tail)(py, inv, px, qx, qy)
+            x3, y3 = xy[:16], xy[16:]
         else:
             x3, y3 = jump_ref_mod.affine_add_walk(
                 px, py, qx, qy, inv_stop=min(INV_STOP, n)
@@ -369,7 +407,9 @@ def _jump_kernel_body(
             if _PROBE:
                 py = _probe_extra(px, py, qx, qy)
             if symmetry:
-                # equivalence-class normalization (Kangaroo.cpp:422-428)
+                # eager equivalence-class normalization for the
+                # unchunked geometries (Kangaroo.cpp:422-428); h/sg
+                # stay 0 so the deferred-path epilogues are no-ops
                 pyc = field.canonicalize(py)
                 high = field.y_is_high(pyc)
                 sel = (high == 1)[None, :]
@@ -391,12 +431,12 @@ def _jump_kernel_body(
                 slm, d, dpd_ref[8 * s:8 * (s + 1), :]
             )
             step_ref[s:s + 1, :] = jnp.where(
-                slm, jnp.uint32(i), step_ref[s:s + 1, :]
+                slm, stepval, step_ref[s:s + 1, :]
             )
         count = count + hit.astype(jnp.uint32)
-        return px, py, d, sc, count
+        return px, py, d, sc, h, sg, count
 
-    px, py, d, sc, count = jax.lax.fori_loop(
+    px, py, d, sc, h, sg, count = jax.lax.fori_loop(
         0, nb_run, body,
         (
             px_ref[:, :],
@@ -404,14 +444,43 @@ def _jump_kernel_body(
             d_ref[:, :],
             sc_ref[0, :],
             jnp.zeros((n,), dtype=jnp.uint32),
+            jnp.zeros((n,), dtype=jnp.uint32),
+            jnp.zeros((n,), dtype=jnp.uint32),
         ),
     )
+
+    if deferred:
+        # window epilogue 1: materialize the canonical flipped state
+        # (once per window, chunked so intermediates stay narrow)
+        def fin(pyv, dv, hv, sgv):
+            pc = field.canonicalize(pyv)
+            pyo = jnp.where((hv == 1), field.neg_y(pc), pc)
+            do = jnp.where((sgv == 1), field.neg_u128(dv), dv)
+            return jnp.concatenate([pyo, do], axis=0)  # (24, W)
+
+        fz = field._lane_chunks(WALKW, fin)(
+            py, d, h[None, :], sg[None, :]
+        )
+        py, d = fz[:16], fz[16:24]
 
     opx_ref[:, :] = px
     opy_ref[:, :] = py
     od_ref[:, :] = d
     osc_ref[:, :] = sc[None, :]
     cnt_ref[:, :] = count[None, :]
+
+    if deferred:
+        # window epilogue 2: decode captured DPs -- step bit 15 holds
+        # the lane's sigma at capture time; the true distance is the
+        # stored one negated when sigma was flipped
+        for s in range(slots):
+            strow = step_ref[s:s + 1, :]
+            sgb = (strow >> jnp.uint32(15)) & jnp.uint32(1)
+            blk = dpd_ref[8 * s:8 * (s + 1), :]
+            dpd_ref[8 * s:8 * (s + 1), :] = jnp.where(
+                sgb == 1, field.neg_u128(blk), blk
+            )
+            step_ref[s:s + 1, :] = strow & jnp.uint32(0x7FFF)
 
 
 @functools.partial(

@@ -89,6 +89,50 @@ def test_pallas_matches_xla_symmetry():
         )
 
 
+def test_pallas_matches_xla_symmetry_deferred():
+    """Deferred-flip symmetry (round 5): at production-like widths
+    (n > WALKW) the kernel defers every y/d negation to the window
+    epilogue and decodes captured DPs from the sigma bit -- outputs
+    must still match the eager-flip oracle bit-for-bit, including the
+    mid-window captures."""
+    n = 1024
+    nb_run = 10
+    dp_size = 4
+    range_power = 48
+
+    assert jump_pallas.WALKW and n > jump_pallas.WALKW
+
+    jt = create_jump_table(range_power, symmetry=True)
+    jx, jy, jd = (jnp.asarray(a) for a in jt.as_arrays())
+    masks = jnp.asarray(jump_ref.dp_limb_masks(dp_size))
+
+    rng = MT19937(31337)
+    width_div2 = ((1 << range_power) - 1) >> 1
+    key = curve.mul(0xFACE12345)
+    px, py, d = herd_mod.create_herd(
+        n, range_power, width_div2, key, 0, rng, symmetry=True
+    )
+    px, py, d = jnp.asarray(px), jnp.asarray(py), jnp.asarray(d)
+
+    r_ref = jump_ref.jump_steps_with_dp(
+        px, py, d, jx, jy, jd, masks, nb_run=nb_run, inv_stop=128,
+        symmetry=True,
+    )
+    r_pal = jump_pallas.jump_steps_with_dp(
+        px, py, d, jx, jy, jd, masks, nb_run=nb_run, block=n,
+        interpret=True, symmetry=True,
+    )
+
+    names = ["px", "py", "d", "count", "dpx", "dpd", "dp_step", "symclass"]
+    for name, a, b in zip(names, r_ref, r_pal):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"mismatch in {name}"
+        )
+    # the window must actually flip some classes and capture DPs
+    assert int(np.asarray(r_ref[3]).sum()) > 0
+    assert int(np.asarray(r_ref[7]).sum()) > 0
+
+
 def test_pallas_matches_xla_slots4():
     """Slot-parameterized capture (small-dp windows use 4-8 slots):
     bit-exact parity incl. all four slot planes and overflow counts."""
