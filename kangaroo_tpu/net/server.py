@@ -71,7 +71,9 @@ class DPServer:
 
         self.hash_table = make_hash_table()
         self.lock = threading.Lock()
-        self.recv_dp: List[proto.DPRecord] = []
+        # raw SENDDP payload blobs (nb * 40 bytes each), parsed only by
+        # the drain thread -- and then only via numpy views
+        self.recv_dp: List[bytes] = []
         self.connected_clients = 0
         self.total_rw = 0
         self.dead = 0
@@ -150,17 +152,18 @@ class DPServer:
                     data = proto.recv_exact(
                         conn, nb * proto.DP_SIZE, self.timeout
                     )
-                    records = [
-                        proto.DPRecord.unpack(
-                            data[i * proto.DP_SIZE:(i + 1) * proto.DP_SIZE]
-                        )
-                        for i in range(nb)
-                    ]
+                    # raw bytes go straight to the receive cache: the
+                    # wire record is {u32 kIdx, u32 h, x128, d128} and
+                    # the native table record is the same minus kIdx,
+                    # so the drain strips 4 bytes per record with one
+                    # numpy view -- no per-record parsing anywhere on
+                    # the ingest path (the former DPRecord.unpack list
+                    # comprehension capped ingest at ~50 K DPs/s)
                     proto.send_all(
                         conn, struct.pack("<i", self.status()), self.timeout
                     )
                     with self.lock:
-                        self.recv_dp.extend(records)
+                        self.recv_dp.append(data)
                 elif c == proto.SERVER_RESETDEAD:
                     proto.recv_exact(conn, 2, self.timeout)
                     self.dead = 0
@@ -256,33 +259,49 @@ class DPServer:
             self.timeout,
         )
 
-    def _validate(self, records) -> list:
-        """Drop DPs whose x/bucket do not re-derive from their distance."""
-        from ..core.check import _check_batch  # host batched re-derivation
+    @staticmethod
+    def _parse_columns(arr):
+        """(n, 40) u8 wire records -> (h u32 array, x128 ints, d128 ints).
 
-        good = []
-        dists, types, xs, hs = [], [], [], []
-        for rec in records:
-            d, t = calc_dist_and_type(rec.d128)
+        Only the validate / dict-table paths pay this; the native
+        ingest path ships the raw bytes without parsing.
+        """
+        import numpy as np
+
+        h = np.ascontiguousarray(arr[:, 4:8]).view("<u4").ravel()
+        xw = np.ascontiguousarray(arr[:, 8:24]).view("<u8").reshape(-1, 2)
+        dw = np.ascontiguousarray(arr[:, 24:40]).view("<u8").reshape(-1, 2)
+        xs = [int(lo) | (int(hi) << 64) for lo, hi in xw]
+        ds = [int(lo) | (int(hi) << 64) for lo, hi in dw]
+        return h, xs, ds
+
+    def _validate(self, arr):
+        """Keep-mask over (n, 40) wire records whose x/bucket re-derive
+        from their distance; None means keep all."""
+        from ..core.check import _check_batch  # host batched re-derivation
+        import numpy as np
+
+        hs, xs, d128s = self._parse_columns(arr)
+        dists, types = [], []
+        for d128 in d128s:
+            d, t = calc_dist_and_type(d128)
             dists.append(d)
             types.append(t)
-            xs.append(rec.x128)
-            hs.append(rec.h)
         # fast path: one batched re-derivation; only on failure narrow
         # down record-by-record
-        if _check_batch(dists, types, xs, hs, self.key_to_search,
-                        symmetry=self.symmetry) == 0:
-            return records
-        for i, rec in enumerate(records):
+        if _check_batch(dists, types, xs, [int(h) for h in hs],
+                        self.key_to_search, symmetry=self.symmetry) == 0:
+            return None
+        keep = np.ones(arr.shape[0], dtype=bool)
+        for i in range(arr.shape[0]):
             wrong = _check_batch(
-                [dists[i]], [types[i]], [xs[i]], [hs[i]],
+                [dists[i]], [types[i]], [xs[i]], [int(hs[i])],
                 self.key_to_search, symmetry=self.symmetry,
             )
             if wrong:
                 self.rejected += 1
-            else:
-                good.append(rec)
-        return good
+                keep[i] = False
+        return keep
 
     def _resolve_collision(self, d_new: int, d_old: int) -> None:
         d1, t1 = calc_dist_and_type(d_old)
@@ -301,23 +320,33 @@ class DPServer:
 
     # -- DP drain loop (reference: ProcessServer, Thread.cpp:165) ---------
     def _process_once(self) -> None:
+        import numpy as np
+
         with self.lock:
-            cache = self.recv_dp
+            blobs = self.recv_dp
             self.recv_dp = []
-        if self.validate_points and cache:
-            cache = self._validate(cache)
-        if cache and isinstance(self.hash_table, NativeHashTable):
-            # one native call per chunk instead of a Python insert per
-            # record -- the path that keeps hundreds of clients fed
+        if not blobs:
+            return
+        raw = blobs[0] if len(blobs) == 1 else b"".join(blobs)
+        n = len(raw) // proto.DP_SIZE
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(n, proto.DP_SIZE)
+        if self.validate_points and n:
+            keep = self._validate(arr)
+            if keep is not None:
+                arr = arr[keep]
+                n = arr.shape[0]
+        if n and isinstance(self.hash_table, NativeHashTable):
+            # zero-parse ingest: strip the 4-byte kIdx column with one
+            # numpy view and hand whole chunks to the native table --
+            # the path that keeps hundreds of clients fed (the former
+            # per-record unpack/re-pack loops capped this at ~50 K
+            # DPs/s on one core)
+            recs = np.ascontiguousarray(arr[:, 4:]).tobytes()
             chunk = 32768
-            for off in range(0, len(cache), chunk):
-                part = cache[off:off + chunk]
-                recs = b"".join(
-                    NativeHashTable.pack_record(r.h, r.x128, r.d128)
-                    for r in part
-                )
+            for off in range(0, n, chunk):
+                part = min(chunk, n - off)
                 _, _, dup_total, colls = self.hash_table.add_batch_raw(
-                    recs, len(part)
+                    recs[36 * off:36 * (off + part)], part
                 )
                 self.dead += dup_total
                 for x128, d_new, d_old, idx in colls:
@@ -325,19 +354,25 @@ class DPServer:
                     if self.end_of_search:
                         return
             return
-        for rec in cache:
+        if not n:
+            return
+        hs, xs, d128s = self._parse_columns(arr)
+        for i in range(n):
             if self.end_of_search:
                 break
-            status = self.hash_table.add_raw(rec.h, rec.x128, rec.d128)
+            status = self.hash_table.add_raw(int(hs[i]), xs[i], d128s[i])
             if status == ADD_DUPLICATE:
                 self.dead += 1
             elif status == ADD_COLLISION:
-                d2, t2 = calc_dist_and_type(rec.d128)
+                d2, t2 = calc_dist_and_type(d128s[i])
                 dead, res = collision_check(
                     self.hash_table.k_dist, self.hash_table.k_type,
                     d2, t2,
                     self.key_to_search, self.key_to_search_neg,
                     self.range_start,
+                    width_div2_sym=(
+                        self.width_div2 if self.symmetry else None
+                    ),
                 )
                 if res is not None:
                     self.result = res

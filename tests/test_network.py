@@ -116,8 +116,9 @@ def test_server_point_validation():
     pt = curve_mod.mul(dist)
     h, x128, d128 = convert(pt.x, dist, 0)
     srv.recv_dp = [
-        proto.DPRecord(0, h, x128, d128),
-        proto.DPRecord(1, h, x128 ^ 0x5555, d128),  # wrong x for the dist
+        proto.DPRecord(0, h, x128, d128).pack(),
+        # wrong x for the dist
+        proto.DPRecord(1, h, x128 ^ 0x5555, d128).pack(),
     ]
     srv._process_once()
     assert srv.hash_table.n_items() == 1
@@ -281,6 +282,44 @@ def test_multi_client_ingest():
     assert srv.hash_table.n_items() + srv.dead == total
     srv.end_of_search = True
     t.join(timeout=10)
+
+
+def test_ingest_drain_rate_vectorized():
+    """The SENDDP drain must stay a batch/numpy path: 200k raw records
+    through _process_once at well over the old ~50 K/s per-record-loop
+    ceiling (VERDICT r4 task 3).  The floor is set loose (100 K/s on a
+    shared core) to catch reintroduced per-record parsing, not to
+    benchmark."""
+    import numpy as np
+    from kangaroo_tpu.core.hashtable import NativeHashTable
+
+    start = 0x40000
+    cfg = ProblemConfig(
+        start, start + (1 << 30) - 1, [curve.mul(start + 0x777)]
+    )
+    srv = DPServer(cfg, 20, port=0)
+    if not isinstance(srv.hash_table, NativeHashTable):
+        pytest.skip("native table unavailable")
+    n = 200_000
+    rng = np.random.RandomState(7)
+    raw = rng.randint(0, 256, size=(n, proto.DP_SIZE), dtype=np.int64)
+    rec = raw.astype(np.uint8)
+    # bucket ids must be < HASH_SIZE (2^18): bytes 4:8 hold u32 h
+    rec[:, 6] &= 0x03
+    rec[:, 7] = 0
+    # unique x128 (bytes 8:24): stamp the record index into the low 8
+    rec[:, 8:16] = (
+        np.arange(n, dtype=np.uint64)
+        .astype("<u8").view(np.uint8).reshape(n, 8)
+    )
+    srv.recv_dp = [rec.tobytes()]
+    t0 = time.time()
+    srv._process_once()
+    dt = time.time() - t0
+    rate = n / dt
+    assert srv.hash_table.n_items() + srv.dead == n
+    print(f"\ningest drain: {rate/1e3:.0f} K DPs/s ({dt:.2f}s for {n})")
+    assert rate > 100_000, f"drain rate regressed: {rate:.0f} DPs/s"
 
 
 def test_pending_dp_persistence_and_resend(tmp_path, monkeypatch):
