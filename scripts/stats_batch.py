@@ -23,6 +23,16 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import os
+
+    if os.environ.get("KT_CPU"):
+        # JAX_PLATFORMS=cpu does not stick under the ambient
+        # sitecustomize; force it the supported way (STATS op counts
+        # are backend-independent -- the walk is bit-exact across
+        # backends per the -check lockstep)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     cfg_path = sys.argv[1]
     nk = 1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     dp = int(sys.argv[3]) if len(sys.argv) > 3 else -1
