@@ -10,6 +10,7 @@ exactly like the reference.
 from __future__ import annotations
 
 import math
+import threading
 import time
 from dataclasses import dataclass, field as dc_field
 from typing import Callable, List, Optional
@@ -86,6 +87,13 @@ class SolverOptions:
     # hanging forever.  0 disables.  Table-only resume costs DP
     # overhead only (reference README.md:99-101).
     device_timeout: float = 600.0
+    # Device-side DP compaction (round 5): the tick's capture slots are
+    # compacted ON DEVICE (cumsum over occupancy + position scatter +
+    # payload gather) so the host makes ONE blocking read per tick
+    # instead of counts-read -> index-upload -> gather-read.  The old
+    # 3-round-trip path remains as the overflow fallback and behind
+    # compact=False.
+    compact: bool = True
 
 
 @dataclass
@@ -119,6 +127,14 @@ def poisson_tail(lam: float, k: int) -> float:
     if lam <= 0.0:
         return 0.0
     if k <= 0:
+        return 1.0
+    if k <= lam:
+        # below/at the mode the tail is >= ~0.5; returning the bound 1.0
+        # short-circuits the series, whose leading term exp(-lam + ...)
+        # underflows to 0.0 for lam >= ~745 and silently reported a
+        # ZERO tail for misconfigurations like -nbrun 1024 -d 0 (the
+        # sizing loop then picked minimal slots while virtually every
+        # DP overflowed the capture slots)
         return 1.0
     logp = -lam + k * math.log(lam) - math.lgamma(k + 1)
     term = math.exp(logp)
@@ -249,6 +265,36 @@ class KangarooSolver:
     # pass dp_cost=1e-6 via -dpcost.
     DP_HOST_COST = 2e-6
 
+    @staticmethod
+    def _bench_rate() -> Optional[float]:
+        """Measured kernel rate (K/s) from the newest BENCH_r*.json.
+
+        The auto-DP model needs a rate prior; a hardcoded constant
+        drifts every time the kernel gets faster (it lagged 1.5e8 vs a
+        measured 1.71e8 by round 4), so read the committed bench
+        artifact instead and fall back to a constant only when absent.
+        """
+        import glob
+        import json
+        import pathlib
+
+        root = pathlib.Path(__file__).resolve().parents[2]
+        best = None
+        for pat in (root, pathlib.Path.cwd()):
+            for f in glob.glob(str(pat / "BENCH_r*.json")):
+                try:
+                    with open(f) as fh:
+                        v = json.load(fh)
+                    # driver artifacts wrap the metric line in "parsed"
+                    v = v.get("parsed", v)
+                    if v.get("unit") == "MK/s" and v.get("value"):
+                        key = f  # lexicographic = round order (r01..)
+                        if best is None or key > best[0]:
+                            best = (key, float(v["value"]) * 1e6)
+                except (OSError, ValueError, KeyError):
+                    continue
+        return best[1] if best else None
+
     def balanced_dp(self, nb_kangaroo: int, rate: Optional[float] = None,
                     suggested: Optional[int] = None,
                     dp_cost: float = DP_HOST_COST) -> int:
@@ -264,7 +310,10 @@ class KangarooSolver:
         if rate is None:
             import jax
 
-            rate = 1.5e8 if jax.devices()[0].platform == "tpu" else 3.5e6
+            if jax.devices()[0].platform == "tpu":
+                rate = self._bench_rate() or 1.7e8
+            else:
+                rate = 3.5e6
         s = self.suggest_dp(nb_kangaroo) if suggested is None else suggested
         best, best_t = s, None
         for dp in range(s, min(s + 24, 65)):
@@ -322,7 +371,8 @@ class KangarooSolver:
             n_slots = slots_for_window(
                 opts.nb_run, dp_size, opts.nb_kangaroo
             )
-        if n_slots > MAX_SLOTS:
+        slots_capped = n_slots > MAX_SLOTS
+        if slots_capped:
             # explicit -nbrun pinned the window: cap and report the
             # residual expected loss instead of silently dropping
             n_slots = MAX_SLOTS
@@ -353,8 +403,9 @@ class KangarooSolver:
             if auto_window:
                 kw = max(1, min(16, 4096 // opts.nb_run))
                 slot_bytes = (
-                    n_slots * 25 * 4 * opts.nb_kangaroo
-                )  # dpx 16 + dpd 8 + step 1 rows per slot
+                    n_slots * (jump_ref.DPX_ROWS + 8 + 1) * 4
+                    * opts.nb_kangaroo
+                )  # dpx DPX_ROWS + dpd 8 + step 1 rows per slot
                 kw = max(1, min(kw, int(2e9 / max(1, slot_bytes))))
             else:
                 kw = 1
@@ -367,84 +418,9 @@ class KangarooSolver:
             opts.seed if opts.seed is not None else (time.time_ns() & 0xFFFFFFFF)
         )
 
-        # Continuation semantics: a repeated solve() on the SAME key
-        # keeps the accumulated table/count and continues the walk from
-        # last_state; a new key resets both (reference: hashTable.Reset
-        # between keys, Kangaroo.cpp:1054-1056).  A -i resume keeps the
-        # table loaded by the CLI (self.resumed).
-        same_key = getattr(self, "_active_key_idx", None) == key_idx
-        if not self.resumed and not same_key:
-            self.hash_table.reset()
-            self.offset_count = 0
-            self.stats.dead = 0
-        self.resumed = False
-        self._active_key_idx = key_idx
-        if (
-            same_key
-            and self.loaded_kangaroos is None
-            and getattr(self, "last_state", None) is not None
-        ):
-            self.loaded_kangaroos = tuple(
-                np.asarray(a) for a in self.last_state
-            )
-
-        if self.loaded_kangaroos is not None:
-            # Reconcile the restored herd with the requested lane count
-            # (reference: FectchKangaroos fills any shortfall with fresh
-            # kangaroos and warns about surplus, Backup.cpp:283-287).
-            # The lane-parity type convention (lane % 2) is preserved by
-            # truncating/appending at the tail.
-            px_np, py_np, d_np = (np.asarray(a) for a in self.loaded_kangaroos)
-            nl = px_np.shape[1]
-            if nl > opts.nb_kangaroo:
-                if not opts.quiet:
-                    print(
-                        f"Warning: {nl - opts.nb_kangaroo} unhandled "
-                        f"kangaroos! (-nk {opts.nb_kangaroo} < {nl} restored)"
-                    )
-                px_np = px_np[:, :opts.nb_kangaroo]
-                py_np = py_np[:, :opts.nb_kangaroo]
-                d_np = d_np[:, :opts.nb_kangaroo]
-            elif nl < opts.nb_kangaroo:
-                fx, fy, fd = herd_mod.create_herd(
-                    opts.nb_kangaroo - nl,
-                    self.range_power,
-                    self.width_div2,
-                    self.key_to_search,
-                    nl % 2,
-                    rng,
-                    symmetry=opts.symmetry,
-                )
-                px_np = np.concatenate([px_np, fx], axis=1)
-                py_np = np.concatenate([py_np, fy], axis=1)
-                d_np = np.concatenate([d_np, fd], axis=1)
-            px, py, d = jnp.asarray(px_np), jnp.asarray(py_np), jnp.asarray(d_np)
-        else:
-            # device=True: px/py never leave the device (skips a 64 MB
-            # download + 84 MB re-upload per 2^19-lane herd -- half the
-            # relay-bound solve startup)
-            px, py, d = herd_mod.create_herd(
-                opts.nb_kangaroo,
-                self.range_power,
-                self.width_div2,
-                self.key_to_search,
-                TAME,
-                rng,
-                symmetry=opts.symmetry,
-                device=True,
-            )
-        symclass = jnp.zeros((opts.nb_kangaroo,), dtype=jnp.uint32)
-        # the restored herd is absorbed into px/py/d; keep it from
-        # being re-applied (stale) by a later solve() call
-        self.loaded_kangaroos = None
-
-        self.stats.count = self.offset_count
-        t0 = time.time()
         result = None
         tick = 0
         n = opts.nb_kangaroo
-        last_status = t0
-        last_save = t0
 
         inv_stop = min(1024, n)
 
@@ -457,20 +433,16 @@ class KangarooSolver:
         nd = min(nd, len(devices), opts.nb_kangaroo)
         while nd > 1 and opts.nb_kangaroo % nd:
             nd -= 1  # lane shards must divide the herd evenly
+        mesh = None
         if nd > 1:
             # shard the herd over the local mesh; tables replicated
             from ..parallel import sharding as sharding_mod
             from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
             mesh = sharding_mod.make_mesh(devices[:nd])
-            px, py, d = sharding_mod.shard_herd(mesh, px, py, d)
             repl = sharding_mod.replicated(mesh)
             jx, jy, jd = (jax.device_put(a, repl) for a in (jx, jy, jd))
             dp_masks = jax.device_put(dp_masks, repl)
-            symclass = jax.device_put(
-                symclass,
-                NamedSharding(mesh, Pspec(sharding_mod.HERD_AXIS)),
-            )
             sharded_tick = sharding_mod.make_sharded_jump_steps(
                 mesh, nb_run=opts.nb_run,
                 inv_stop=min(inv_stop, opts.nb_kangaroo // nd),
@@ -585,11 +557,98 @@ class KangarooSolver:
             # lost-DP counter saturates at 15 hits/lane/window -- the
             # slot budget is <= 8 by the window-split rule, and
             # P(>15 Poisson hits) at any sane DP rate is ~1e-30.
+            # When the Poisson sizing was overridden (pinned -nbrun
+            # capped the slot budget) the >15 tail is NOT negligible:
+            # read full u8 counts so stats.lost stays honest.
+            if slots_capped:
+                return jnp.minimum(count.reshape(-1), 255).astype(jnp.uint8)
             c = jnp.minimum(count.reshape(-1), 15).astype(jnp.uint8)
             return c[0::2] | (c[1::2] << 4)
 
+        C_CELLS = kw * n_slots * n
+
+        @jax.jit
+        def compact_fn(count, dpx, dpd, dp_step):
+            """Device-side DP compaction: ship exactly the occupied
+            slot cells, in cell order, with their flat positions.
+
+            cumsum over per-cell occupancy -> one 1-row scatter builds
+            the source-position vector -> payload gathers at the fixed
+            width pull_pad.  The host then needs ONE blocking read per
+            tick (nh + lost scalars ride along); the former flow paid
+            two extra round trips (count readback, index upload) that
+            serialized the pipeline through the relay each tick.
+            """
+            cnt = count.reshape(-1).astype(jnp.int32)    # (kw*n,)
+            c2 = jnp.minimum(cnt, n_slots)
+            lost = jnp.sum(cnt - c2)
+            c3 = c2.reshape(kw, 1, n)
+            sio = jax.lax.broadcasted_iota(jnp.int32, (kw, n_slots, n), 1)
+            occ = (sio < c3).reshape(-1)                 # (C_CELLS,)
+            occ_i = occ.astype(jnp.int32)
+            idx = jnp.cumsum(occ_i) - 1                  # target position
+            nh = jnp.sum(occ_i)
+            tgt = jnp.where(occ & (idx < pull_pad), idx, pull_pad)
+            cells = jnp.arange(C_CELLS, dtype=jnp.int32)
+            pos = jnp.zeros((pull_pad + 1,), jnp.int32).at[tgt].set(
+                cells
+            )[:pull_pad]
+            if kw > 1:
+                dpx = dpx.reshape(kw, n_slots, XR, n)
+                dpd = dpd.reshape(kw, n_slots, 8, n)
+                xg = jnp.moveaxis(dpx, 2, 0).reshape(XR, C_CELLS)
+                dg = jnp.moveaxis(dpd, 2, 0).reshape(8, C_CELLS)
+                sf = dp_step.reshape(C_CELLS)
+            else:
+                xg = dpx.reshape(n_slots, XR, n).swapaxes(0, 1).reshape(
+                    XR, C_CELLS
+                )
+                dg = dpd.reshape(n_slots, 8, n).swapaxes(0, 1).reshape(
+                    8, C_CELLS
+                )
+                sf = dp_step.reshape(C_CELLS)
+            xg = jnp.take(xg, pos, axis=1)
+            dg = jnp.take(dg, pos, axis=1)
+            sg = jnp.take(sf, pos)
+            xp = xg[0::2] | (xg[1::2] << 16)   # (5, P)
+            dp2 = dg[0::2] | (dg[1::2] << 16)  # (4, P)
+            return nh, lost, xp, dp2, sg.astype(jnp.uint16), pos
+
+        def read_compact(pend_out, cm):
+            """Read one tick's compacted DPs (single blocking read)."""
+            got = self._host_read(
+                lambda: tuple(np.asarray(a) for a in cm)
+            )
+            nh, lost, xp, dp2, sg, pos = got
+            nh = int(nh)
+            lost = int(lost)
+            if nh == 0:
+                if lost:
+                    return lost, None
+                return None
+            if nh > pull_pad:
+                # overflow beyond the sized gather width (~150 sigma at
+                # production rates, or a mis-sized -pullpad): fall back
+                # to the exact counts-and-indices path for this tick
+                flight = enqueue_pull(pend_out)
+                return read_pull(flight) if flight is not None else None
+            m = nh
+            x = np.empty((10, m), dtype=np.uint32)
+            xpm = xp[:, :m]
+            x[0::2] = xpm & np.uint32(0xFFFF)
+            x[1::2] = xpm >> np.uint32(16)
+            dd = np.empty((8, m), dtype=np.uint32)
+            dpm = dp2[:, :m]
+            dd[0::2] = dpm & np.uint32(0xFFFF)
+            dd[1::2] = dpm >> np.uint32(16)
+            posm = pos[:m].astype(np.int64)
+            wins = posm // (n_slots * n)
+            lanes = posm % n
+            return lost, lanes, wins, x, dd, sg[:m].astype(np.uint32)
+
         def enqueue_pull(pend):
-            """Stage 2: read a tick's DP counts, enqueue per-DP gathers.
+            """Fallback stage 2: read a tick's DP counts, enqueue
+            per-DP gathers.
 
             Blocks only on the (nibble-packed) count transfer; the
             gathers go out as ONE dispatch and stay in flight so they
@@ -597,13 +656,21 @@ class KangarooSolver:
             """
             count, dpx, dpd, dp_step = pend
             pk = self._host_read(lambda: np.asarray(pack_counts(count)))
-            count_np = np.empty(pk.size * 2, dtype=np.uint8)
-            count_np[0::2] = pk & np.uint8(15)
-            count_np[1::2] = pk >> np.uint8(4)
+            if slots_capped:
+                count_np = pk
+            else:
+                count_np = np.empty(pk.size * 2, dtype=np.uint8)
+                count_np[0::2] = pk & np.uint8(15)
+                count_np[1::2] = pk >> np.uint8(4)
             cnt = np.minimum(count_np, n_slots).astype(np.int64)
+            lost = int(
+                np.maximum(
+                    count_np.astype(np.int64) - n_slots, 0
+                ).sum()
+            )
             wl = np.nonzero(cnt)[0]          # hit window-lanes
             if not wl.size:
-                return None
+                return (lost, None) if lost else None
             reps = cnt[wl]
             flat_wl = np.repeat(wl, reps)    # one entry per DP
             ends = np.cumsum(reps)
@@ -624,15 +691,18 @@ class KangarooSolver:
                     (len(part),)
                     + gather_fn(dpx, dpd, dp_step, jnp.asarray(idx))
                 )
-            return count_np, wl, lanes, wins, chunks
+            return lost, lanes, wins, chunks
 
         def read_pull(flight):
-            """Stage 3 transfer: bring the gathered DP columns to host.
+            """Fallback stage 3 transfer: bring the gathered DP columns
+            to host.
 
             The device packed 16-bit limb rows pairwise into u32 lanes
             (and steps into u16); unpack vectorized here.
             """
-            count_np, wl, lanes, wins, chunks = flight
+            if len(flight) == 2:
+                return flight      # lost-only (no hit lanes)
+            lost, lanes, wins, chunks = flight
             xs, ds, ss = [], [], []
             for m, dpx_g, dpd_g, step_g in chunks:
                 got = self._host_read(
@@ -651,7 +721,7 @@ class KangarooSolver:
                 ds.append(dd[:, :m])
                 ss.append(sg[:m].astype(np.uint32))
             return (
-                count_np, wl, lanes, wins,
+                lost, lanes, wins,
                 np.concatenate(xs, axis=1),
                 np.concatenate(ds, axis=1),
                 np.concatenate(ss),
@@ -774,14 +844,16 @@ class KangarooSolver:
             (GPUEngine.cu:607-677).
             """
             nonlocal px, py, d, symclass, result, sink_end
-            count_np, wl, lanes, wins, x_np, d_np, step_np = pulled
-            ns = n_slots
+            if pulled is None:
+                return False
+            if len(pulled) == 2:          # lost-only tick, no hits
+                lost, _ = pulled
+                lanes = None
+            else:
+                lost, lanes, wins, x_np, d_np, step_np = pulled
             # DP hits beyond the on-chip capture slots are dropped by
             # the kernel; count and warn like the reference's output
             # ring overflow (GPUEngine.cu:641-648)
-            lost = int(
-                np.maximum(count_np[wl].astype(np.int64) - ns, 0).sum()
-            )
             if lost:
                 self.stats.lost += lost
                 if not self._lost_warned and not opts.quiet:
@@ -791,6 +863,8 @@ class KangarooSolver:
                         f"Hint: increase dp bit number or decrease "
                         f"-nbrun to lower the DP rate per launch window"
                     )
+            if lanes is None:
+                return False
             if dp_sink is None and isinstance(
                 self.hash_table, NativeHashTable
             ):
@@ -857,6 +931,132 @@ class KangarooSolver:
             apply_resets(resets)
             return False
 
+        # ---- startup pipeline (round 5) -------------------------------
+        # The pre-walk phase used to run strictly serially: jump-kernel
+        # compile, THEN herd creation, THEN gather/reset compiles --
+        # 277 s warm on the 72-bit solve.  The compiles are independent
+        # of the herd data, so warm the tick/compact executables on a
+        # background thread (dummy zero-state dispatch at the real
+        # shapes populates the jit dispatch cache) while the main
+        # thread creates and uploads the herd and pre-compiles the
+        # reset path.  KT_PHASE=1 prints the phase breakdown.
+        _phase_t = [time.time()]
+        _phases = {}
+
+        def _ph(name):
+            now = time.time()
+            _phases[name] = now - _phase_t[0]
+            _phase_t[0] = now
+
+        warm_thread = None
+        if backend == "pallas" and nd == 1:
+            def _prewarm_exec():
+                try:
+                    zpx = jnp.zeros((16, n), jnp.uint32)
+                    zpy = jnp.zeros((16, n), jnp.uint32)
+                    zd = jnp.zeros((8, n), jnp.uint32)
+                    zsc = jnp.zeros((n,), jnp.uint32)
+                    o = tick_fn(zpx, zpy, zd, zsc)
+                    if opts.compact:
+                        cm = compact_fn(o[3], o[4], o[5], o[6])
+                        int(np.asarray(cm[0]))  # force compile + run
+                    else:
+                        np.asarray(pack_counts(o[3]))
+                        zidx = jnp.zeros((pull_pad,), jnp.int32)
+                        g = gather_fn(o[4], o[5], o[6], zidx)
+                        np.asarray(g[2][:1])
+                except Exception:
+                    pass  # prewarm is best-effort; the loop compiles lazily
+
+            warm_thread = threading.Thread(target=_prewarm_exec, daemon=True)
+            warm_thread.start()
+
+        # Continuation semantics: a repeated solve() on the SAME key
+        # keeps the accumulated table/count and continues the walk from
+        # last_state; a new key resets both (reference: hashTable.Reset
+        # between keys, Kangaroo.cpp:1054-1056).  A -i resume keeps the
+        # table loaded by the CLI (self.resumed).
+        same_key = getattr(self, "_active_key_idx", None) == key_idx
+        if not self.resumed and not same_key:
+            self.hash_table.reset()
+            self.offset_count = 0
+            self.stats.dead = 0
+        self.resumed = False
+        self._active_key_idx = key_idx
+        if (
+            same_key
+            and self.loaded_kangaroos is None
+            and getattr(self, "last_state", None) is not None
+        ):
+            self.loaded_kangaroos = tuple(
+                np.asarray(a) for a in self.last_state
+            )
+
+        if self.loaded_kangaroos is not None:
+            # Reconcile the restored herd with the requested lane count
+            # (reference: FectchKangaroos fills any shortfall with fresh
+            # kangaroos and warns about surplus, Backup.cpp:283-287).
+            # The lane-parity type convention (lane % 2) is preserved by
+            # truncating/appending at the tail.
+            px_np, py_np, d_np = (np.asarray(a) for a in self.loaded_kangaroos)
+            nl = px_np.shape[1]
+            if nl > opts.nb_kangaroo:
+                if not opts.quiet:
+                    print(
+                        f"Warning: {nl - opts.nb_kangaroo} unhandled "
+                        f"kangaroos! (-nk {opts.nb_kangaroo} < {nl} restored)"
+                    )
+                px_np = px_np[:, :opts.nb_kangaroo]
+                py_np = py_np[:, :opts.nb_kangaroo]
+                d_np = d_np[:, :opts.nb_kangaroo]
+            elif nl < opts.nb_kangaroo:
+                fx, fy, fd = herd_mod.create_herd(
+                    opts.nb_kangaroo - nl,
+                    self.range_power,
+                    self.width_div2,
+                    self.key_to_search,
+                    nl % 2,
+                    rng,
+                    symmetry=opts.symmetry,
+                )
+                px_np = np.concatenate([px_np, fx], axis=1)
+                py_np = np.concatenate([py_np, fy], axis=1)
+                d_np = np.concatenate([d_np, fd], axis=1)
+            px, py, d = jnp.asarray(px_np), jnp.asarray(py_np), jnp.asarray(d_np)
+        else:
+            # device=True: px/py never leave the device (skips a 64 MB
+            # download + 84 MB re-upload per 2^19-lane herd -- half the
+            # relay-bound solve startup)
+            px, py, d = herd_mod.create_herd(
+                opts.nb_kangaroo,
+                self.range_power,
+                self.width_div2,
+                self.key_to_search,
+                TAME,
+                rng,
+                symmetry=opts.symmetry,
+                device=True,
+            )
+        symclass = jnp.zeros((opts.nb_kangaroo,), dtype=jnp.uint32)
+        if nd > 1:
+            from ..parallel import sharding as sharding_mod
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            px, py, d = sharding_mod.shard_herd(mesh, px, py, d)
+            symclass = jax.device_put(
+                symclass,
+                NamedSharding(mesh, Pspec(sharding_mod.HERD_AXIS)),
+            )
+        # the restored herd is absorbed into px/py/d; keep it from
+        # being re-applied (stale) by a later solve() call
+        self.loaded_kangaroos = None
+        _ph("herd_dispatch")
+
+        self.stats.count = self.offset_count
+        t0 = time.time()
+        last_status = t0
+        last_save = t0
+
         # Pre-compile the dead-lane reset path at its smallest bucket
         # (8): the first real reset otherwise stalls the measured walk
         # for the full remote compile (~2 min observed on the 72-bit
@@ -883,16 +1083,28 @@ class KangarooSolver:
             d = d.at[:, lanes_w].set(d[:, :8])
             if opts.symmetry:
                 symclass = symclass.at[lanes_w].set(symclass[:8])
+        _ph("reset_prewarm")
+        if warm_thread is not None:
+            warm_thread.join()
+        _ph("tick_prewarm_join")
+        if __import__("os").environ.get("KT_PHASE") and not opts.quiet:
+            print("[startup] " + " ".join(
+                f"{k}={v:.1f}s" for k, v in _phases.items()
+            ))
 
-        # Three-stage pipelined loop (the device queue never drains):
-        #   iter T: dispatch tick T; read tick T-1's DP counts and
-        #   enqueue its hit-lane gathers (they run behind tick T);
-        #   transfer + host-process tick T-2's gathered hits.
-        # The reference GPU loop overlaps the same way with its async
-        # readback (GPUEngine.cu:607-677); dead-kangaroo resets land a
-        # few launch windows late, the same slack class.
-        pending = None   # tick outputs awaiting count read
-        inflight = None  # enqueued gathers awaiting host transfer
+        # Pipelined loop (the device queue never drains).  With
+        # device-side compaction (default): 2 stages -- iter T
+        # dispatches tick T plus its compaction, then makes ONE
+        # blocking read of tick T-1's compacted DPs and host-processes
+        # them while tick T runs.  Fallback (-compact off / overflow):
+        # the former 3-stage flow (dispatch T; read T-1 counts +
+        # enqueue gathers; transfer + process T-2).  The reference GPU
+        # loop overlaps the same way with its async readback
+        # (GPUEngine.cu:607-677); dead-kangaroo resets land a few
+        # launch windows late, the same slack class.
+        use_compact = opts.compact
+        pending = None   # tick outputs awaiting count read / compact read
+        inflight = None  # enqueued fallback gathers awaiting transfer
         stop = False
         try:
             while result is None and not stop:
@@ -911,11 +1123,20 @@ class KangarooSolver:
                 self.stats.count += n * opts.nb_run * kw
                 tick += 1
 
-                gath = enqueue_pull(pending) if pending is not None else None
-                if inflight is not None:
-                    stop = drain(read_pull(inflight))
-                inflight = gath
-                pending = out[3:7]
+                if use_compact:
+                    cm = compact_fn(out[3], out[4], out[5], out[6])
+                    if pending is not None:
+                        stop = drain(read_compact(*pending))
+                    pending = (out[3:7], cm)
+                else:
+                    gath = (
+                        enqueue_pull(pending)
+                        if pending is not None else None
+                    )
+                    if inflight is not None:
+                        stop = drain(read_pull(inflight))
+                    inflight = gath
+                    pending = out[3:7]
 
                 now = time.time()
                 if progress is not None and now - last_status > 2.0:
@@ -938,13 +1159,17 @@ class KangarooSolver:
                         self._save_work(px, py, d, now - t0)
                     last_save = now
 
-            # flush both pipeline stages
-            if result is None and not sink_end and inflight is not None:
-                drain(read_pull(inflight))
-            if result is None and not sink_end and pending is not None:
-                gath = enqueue_pull(pending)
-                if gath is not None:
-                    drain(read_pull(gath))
+            # flush the pipeline stages
+            if use_compact:
+                if result is None and not sink_end and pending is not None:
+                    drain(read_compact(*pending))
+            else:
+                if result is None and not sink_end and inflight is not None:
+                    drain(read_pull(inflight))
+                if result is None and not sink_end and pending is not None:
+                    gath = enqueue_pull(pending)
+                    if gath is not None:
+                        drain(read_pull(gath))
 
         except DeviceHangError as e:
             # hung accelerator/relay: checkpoint what the host

@@ -95,3 +95,57 @@ def test_sharded_solver_end_to_end():
     res = solver.solve(0, max_ticks=3000)
     assert res is not None
     assert res.private_key == k
+
+
+def test_sharded_solve_production_shaped(tmp_path):
+    """Production-shaped nd>1 drain (VERDICT r4 task 8): symmetry on,
+    native C++ table, device-side DP compaction, dead-lane resets
+    firing, a mid-run save, a kill, and a -i-style resume on the
+    8-device mesh -- the nd>1 branches the plain bit-identity test
+    doesn't reach.  The resumed solve must still recover the key with
+    zero lost DPs."""
+    from kangaroo_tpu.core.config import ProblemConfig
+    from kangaroo_tpu.core.hashtable import NativeHashTable
+    from kangaroo_tpu.core.solver import KangarooSolver, SolverOptions
+    from kangaroo_tpu.io import backup
+
+    width = (1 << 18) - 1
+    start = 0xA40000
+    k = start + 201777
+    cfg = ProblemConfig(start, start + width, [curve.mul(k)])
+
+    def mk(seed):
+        opts = SolverOptions(
+            nb_kangaroo=128, dp_size=2, nb_run=8, seed=seed,
+            n_devices=8, symmetry=True, quiet=True,
+        )
+        return KangarooSolver(cfg, opts)
+
+    s1 = mk(21)
+    if not isinstance(s1.hash_table, NativeHashTable):
+        pytest.skip("native table unavailable")
+    # phase 1: run a bounded number of ticks (the hot dp rate forces
+    # duplicate-driven dead-lane resets through the sharded reset path)
+    res = s1.solve(0, max_ticks=40)
+    px, py, d = (np.asarray(a) for a in s1.last_state)
+    path = str(tmp_path / "shard.work")
+    backup.save_work(
+        path, s1, px, py, d, s1.stats.count, s1.stats.time,
+        save_kangaroo=True,
+    )
+    assert s1.stats.lost == 0
+    if res is None:
+        assert s1.hash_table.n_items() > 0
+
+    # phase 2: fresh process-equivalent -- resume from the work file
+    lw = backup.load_work(path)
+    s2 = mk(22)
+    s2.hash_table = lw.hash_table
+    s2.offset_count = lw.count
+    s2.offset_time = lw.time
+    s2.resumed = True
+    s2.loaded_kangaroos = lw.kangaroos
+    res2 = s2.solve(0, max_ticks=4000)
+    assert res2 is not None and res2.private_key == k
+    assert s2.stats.lost == 0
+    assert s2.stats.dead + s1.stats.dead > 0  # resets actually fired
