@@ -100,6 +100,10 @@ def _i(x):
 # array constants, and ints fold into each op's immediate operand.
 _M16 = 0xFFFF
 
+# Round-5 kill-switches for hardware bisects (default on).
+MULFUSE = __import__("os").environ.get("KT_MULFUSE", "1") == "1"
+DEFUSE = __import__("os").environ.get("KT_DEFUSE", "1") == "1"
+
 
 def _fit(x: jnp.ndarray, rows: int) -> jnp.ndarray:
     """Pad with zero rows (or trim zero rows) to exactly `rows`."""
@@ -335,16 +339,25 @@ def mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     ra, rb = a.shape[0], b.shape[0]
     out_rows = ra + rb
-    los = []
-    his = []
-    for i in range(ra):
-        t = b * a[i][None, :]          # (Rb, N) full 32-bit products
-        los.append(t & _M16)
-        his.append(t >> 16)
-    terms = [los[0]]
-    for i in range(1, ra):
-        terms.append(los[i] + his[i - 1])   # < 2^17 - 2
-    terms.append(his[ra - 1])
+    if MULFUSE:
+        los = []
+        his = []
+        for i in range(ra):
+            t = b * a[i][None, :]      # (Rb, N) full 32-bit products
+            los.append(t & _M16)
+            his.append(t >> 16)
+        terms = [los[0]]
+        for i in range(1, ra):
+            terms.append(los[i] + his[i - 1])   # < 2^17 - 2
+        terms.append(his[ra - 1])
+    else:
+        # pre-round-5 form: per-partial _fit + _down copies (KT_MULFUSE=0)
+        terms = []
+        for i in range(ra):
+            t = b * a[i][None, :]
+            lo = t & _M16
+            hi = t >> 16
+            terms.append(_fit(lo, rb + 1) + _down(hi, 1, rb + 1))
     # Balanced adder tree.  terms[j] at level with row-gap `gap` holds
     # the partial sum whose absolute placement is gap*j rows; adjacent
     # terms are combined with a relative down-shift of `gap` rows.
@@ -640,6 +653,52 @@ def _embed_c_i32(top: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+# pre-round-5 d/e constants, kept for the KT_DEFUSE=0 bisect path
+_P15 = P << 15
+P15_LIMBS = np.array(
+    [(_P15 >> (16 * i)) & 0xFFFF for i in range(18)], dtype=np.uint32
+)
+_OFFSET1 = ((1 << 288) - 1) // ((1 << 16) - 1)
+_CORR1 = (-_OFFSET1) % P
+DE_CONST = np.array(
+    [
+        int(P15_LIMBS[i]) + ((_CORR1 >> (16 * i)) & 0xFFFF if i < 16 else 0)
+        for i in range(18)
+    ],
+    dtype=np.int64,
+)
+
+
+def _matmul_de_old(u, v, q, r, d, e):
+    """Pre-round-5 u32 d/e update (KT_DEFUSE=0 bisect path).
+
+    d,e: uint32 (16, N) relaxed (< 2^256); 4 exact-carry passes at
+    17-18 rows per round with the 2^15*p positivity offset.
+    """
+    n = d.shape[1]
+    di, ei = _i(d), _i(e)
+    cols_d = u[None, :] * di + v[None, :] * ei
+    cols_e = q[None, :] * di + r[None, :] * ei
+    s = jnp.concatenate([cols_d, cols_e], axis=1)  # (16, 2N)
+    z = jnp.zeros_like(s[0:1])
+    k = jnp.concatenate(
+        [z + jnp.int32(int(DE_CONST[i])) for i in range(18)], axis=0
+    )
+    s = jnp.concatenate([s, z, z], axis=0) + k    # (18, 2N), value >= 0
+    s = (s & jnp.int32(0xFFFF)) + _down(s >> 16, 1, 18)
+    s = (s & jnp.int32(0xFFFF)) + _down(s >> 16, 1, 18)
+    w = _carry_exact(_u(s + jnp.int32(1)), 18)
+    h = w[16:18]
+    f2 = (
+        _fit(w[:16], 17)
+        + _fit(h * jnp.uint32(C_LOW), 17)
+        + _down(h, 2, 17)
+    )
+    m = _carry_full(f2, 17)
+    res = _fold_small_arr(m[:16], m[16])
+    return res[:, :n], res[:, n:]
+
+
 def _matmul_de(u, v, q, r, d, e):
     """Apply the matrix to the mod-p trackers d,e (no 2^-w: deferred).
 
@@ -667,9 +726,11 @@ def _matmul_de(u, v, q, r, d, e):
     n = d.shape[1]
     di = jnp.concatenate([d, d], axis=1)          # (16, 2N)
     ei = jnp.concatenate([e, e], axis=1)
-    m1 = jnp.concatenate([u, q])
-    m2 = jnp.concatenate([v, r])
-    s = di * m1[None, :] + ei * m2[None, :]       # |.| < 2^30.1
+    # multipliers concatenated as 2-D rows: Mosaic has no 1-D vector
+    # concatenate ("input offsets outside of the first tile")
+    m1 = jnp.concatenate([u[None, :], q[None, :]], axis=1)  # (1, 2N)
+    m2 = jnp.concatenate([v[None, :], r[None, :]], axis=1)
+    s = di * m1 + ei * m2                         # |.| < 2^30.1
     # pass 1 + fold of the 2^256 carry (2^256 === c mod p)
     c = s >> 16
     s = (s & jnp.int32(0xFFFF)) + _down(c[:15], 1, 16) + _embed_c_i32(c[15])
@@ -735,7 +796,10 @@ def _divstep_rounds(f, g, d, e, delta):
         delta, flow, glow = new_delta, nf_low, ng_low
         u, v, q, r = nu, nv, nq, nr
     f, g = _matmul_fg(u, v, q, r, f, g)
-    d, e = _matmul_de(u, v, q, r, d, e)
+    if DEFUSE:
+        d, e = _matmul_de(u, v, q, r, d, e)
+    else:
+        d, e = _matmul_de_old(u, v, q, r, d, e)
     return f, g, d, e, delta
 
 
@@ -758,11 +822,12 @@ def modinv(a: jnp.ndarray) -> jnp.ndarray:
     # d, e track the Bezout coefficients mod p in relaxed SIGNED int32
     # limb form (see _matmul_de); exact normalization happens once
     # after the loop
-    d = jnp.zeros((16, n), dtype=_I32)
+    de_t = _I32 if DEFUSE else _U32
+    d = jnp.zeros((16, n), dtype=de_t)
     # e = 1 built without scatter (.at[].set lowers to an op Pallas
     # TPU kernels cannot express)
     e = jnp.concatenate(
-        [jnp.ones((1, n), dtype=_I32), jnp.zeros((15, n), dtype=_I32)],
+        [jnp.ones((1, n), dtype=de_t), jnp.zeros((15, n), dtype=de_t)],
         axis=0,
     )
     delta = jnp.ones((n,), dtype=_I32)  # t = 2*delta with delta0 = 1/2
@@ -781,7 +846,9 @@ def modinv(a: jnp.ndarray) -> jnp.ndarray:
     for i in range(16):
         carry = (f[i] + carry) >> 16
     neg = (f[16] + carry) < 0
-    d_canon = _signed_to_canonical(d)
+    d_canon = (
+        _signed_to_canonical(d) if DEFUSE else _cond_sub_p_arr(d)
+    )
     d_neg = negmod(d_canon)
     res = jnp.where(neg[None, :], d_neg, d_canon)
     # Build the constant from scalar fills (not a captured array) so this

@@ -280,16 +280,13 @@ def _jump_kernel_body(
     n = px_ref.shape[1]
     # one fused gather per step: stack the three jump tables so a
     # single one-hot build and one lo/hi dot pair fetch qx|qy|qd.
-    # Symmetry mode also stacks the NEGATED distances (computed once
-    # here on the (8, 32) table): the deferred-sign walk adds -qd for
+    # Symmetry mode: jd_ref already carries the NEGATED distances as
+    # rows 8..15 (stacked at the XLA level in jump_steps_with_dp --
+    # sub-lane-tile (8, 32) arithmetic inside the kernel crashes the
+    # Mosaic compile helper): the deferred-sign walk adds -qd for
     # sigma-flipped lanes instead of running neg_u128 on (8, N) every
     # step.
-    if symmetry:
-        jtbl = jnp.concatenate(
-            [jx, jy, jd, field.neg_u128(jd)], axis=0
-        )  # (48, 32)
-    else:
-        jtbl = jnp.concatenate([jx, jy, jd], axis=0)  # (40, 32)
+    jtbl = jnp.concatenate([jx, jy, jd], axis=0)  # (40|48, 32)
 
     # DP slots are initialized once and then READ-MODIFY-WRITTEN in
     # VMEM inside the loop: keeping them as loop-carried values held
@@ -551,10 +548,15 @@ def jump_steps_with_dp(
         state_spec(1), state_spec(slots * XR), state_spec(slots * 8),
         state_spec(slots),
     )
+    if symmetry:
+        # stack the negated distances below jd OUTSIDE the kernel (the
+        # deferred-sign walk selects -qd per lane; Mosaic crashes on
+        # sub-lane-tile (8, 32) arithmetic inside the kernel body)
+        jd = jnp.concatenate([jd, field.neg_u128(jd)], axis=0)
     in_specs = [
         full_spec((16, NB_JUMP)),   # jx
         full_spec((16, NB_JUMP)),   # jy
-        full_spec((8, NB_JUMP)),    # jd
+        full_spec((16 if symmetry else 8, NB_JUMP)),  # jd [| -jd]
         full_spec((1, 4)),          # dp masks
         state_spec(16),             # px
         state_spec(16),             # py
