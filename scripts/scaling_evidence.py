@@ -138,7 +138,7 @@ def measure_ingest(n_clients: int = 8, per_batch: int = 5000,
 
 
 def main() -> None:
-    out_path = "hw_evidence/scaling_r04.json"
+    out_path = "hw_evidence/scaling_r05.json"
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
     here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
@@ -151,7 +151,7 @@ def main() -> None:
     except OSError:
         pass
     kernel_mks = None
-    for name in ("BENCH_r04.json", "BENCH_r03.json"):
+    for name in ("BENCH_r05.json", "BENCH_r04.json", "BENCH_r03.json"):
         try:
             with open(os.path.join(here, name)) as f:
                 kernel_mks = json.load(f)["parsed"]["value"]
