@@ -78,13 +78,20 @@ class ServerConnection:
     def send_dps(self, records: List[proto.DPRecord],
                  thread_id: int = 0, gpu_id: int = 0) -> int:
         """SENDDP: returns server status."""
+        payload = b"".join(r.pack() for r in records)
+        return self.send_dps_raw(
+            payload, len(records), thread_id=thread_id, gpu_id=gpu_id
+        )
+
+    def send_dps_raw(self, payload: bytes, nb: int,
+                     thread_id: int = 0, gpu_id: int = 0) -> int:
+        """SENDDP with a pre-packed nb * 40-byte wire payload."""
         self._cmd(proto.SERVER_SENDDP)
         proto.send_all(
             self.sock,
-            proto.pack_dp_header(len(records), thread_id, os.getpid(), gpu_id),
+            proto.pack_dp_header(nb, thread_id, os.getpid(), gpu_id),
             self.timeout,
         )
-        payload = b"".join(r.pack() for r in records)
         proto.send_all(self.sock, payload, self.timeout)
         data = proto.recv_exact(self.sock, 4, self.timeout)
         return struct.unpack("<i", data)[0]
