@@ -614,6 +614,29 @@ class KangarooSolver:
             dp2 = dg[0::2] | (dg[1::2] << 16)  # (4, P)
             return nh, lost, xp, dp2, sg.astype(jnp.uint16), pos
 
+        # Executable reuse across solve() calls: re-defining the jitted
+        # closures every call discards XLA's dispatch cache, so a
+        # multi-key batch (STATS, in28_8-style configs) recompiled the
+        # tick/gather/compact programs PER KEY.  When the geometry is
+        # unchanged, rebind the previous call's function objects (and
+        # the arrays they close over) instead.
+        geom_key = (
+            self.range_power, bool(opts.symmetry), n, opts.nb_run, kw,
+            n_slots, backend, nd, dp_size, bool(opts.compact),
+            bool(slots_capped), pull_pad,
+        )
+        _cached = getattr(self, "_exec_cache", None)
+        cache_hit = _cached is not None and _cached[0] == geom_key
+        if cache_hit:
+            (jx, jy, jd, dp_masks, tick_fn, gather_fn, pack_counts,
+             compact_fn) = _cached[1]
+        else:
+            self._exec_cache = (
+                geom_key,
+                (jx, jy, jd, dp_masks, tick_fn, gather_fn, pack_counts,
+                 compact_fn),
+            )
+
         def read_compact(pend_out, cm):
             """Read one tick's compacted DPs (single blocking read)."""
             got = self._host_read(
@@ -949,7 +972,7 @@ class KangarooSolver:
             _phase_t[0] = now
 
         warm_thread = None
-        if backend == "pallas" and nd == 1:
+        if backend == "pallas" and nd == 1 and not cache_hit:
             def _prewarm_exec():
                 try:
                     zpx = jnp.zeros((16, n), jnp.uint32)
