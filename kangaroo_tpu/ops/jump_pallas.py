@@ -446,38 +446,22 @@ def _jump_kernel_body(
         ),
     )
 
-    if deferred:
-        # window epilogue 1: materialize the canonical flipped state
-        # (once per window, chunked so intermediates stay narrow)
-        def fin(pyv, dv, hv, sgv):
-            pc = field.canonicalize(pyv)
-            pyo = jnp.where((hv == 1), field.neg_y(pc), pc)
-            do = jnp.where((sgv == 1), field.neg_u128(dv), dv)
-            return jnp.concatenate([pyo, do], axis=0)  # (24, W)
-
-        fz = field._lane_chunks(WALKW, fin)(
-            py, d, h[None, :], sg[None, :]
-        )
-        py, d = fz[:16], fz[16:24]
-
     opx_ref[:, :] = px
     opy_ref[:, :] = py
     od_ref[:, :] = d
-    osc_ref[:, :] = sc[None, :]
-    cnt_ref[:, :] = count[None, :]
-
     if deferred:
-        # window epilogue 2: decode captured DPs -- step bit 15 holds
-        # the lane's sigma at capture time; the true distance is the
-        # stored one negated when sigma was flipped
-        for s in range(slots):
-            strow = step_ref[s:s + 1, :]
-            sgb = (strow >> jnp.uint32(15)) & jnp.uint32(1)
-            blk = dpd_ref[8 * s:8 * (s + 1), :]
-            dpd_ref[8 * s:8 * (s + 1), :] = jnp.where(
-                sgb == 1, field.neg_u128(blk), blk
-            )
-            step_ref[s:s + 1, :] = strow & jnp.uint32(0x7FFF)
+        # raw deferred state leaves the kernel: py un-flipped relaxed,
+        # d sigma-scaled, captured steps carrying sigma in bit 15.  The
+        # h/sg bits ride out in the symclass row (bits 1/2) and the
+        # canonical materialization happens at the XLA level in
+        # jump_steps_with_dp -- doing it in-kernel pushed the 65536-
+        # lane sym geometry 8 MiB past the VMEM cap (136.1 vs 128).
+        osc_ref[:, :] = (sc | (h << jnp.uint32(1)) | (sg << jnp.uint32(2)))[
+            None, :
+        ]
+    else:
+        osc_ref[:, :] = sc[None, :]
+    cnt_ref[:, :] = count[None, :]
 
 
 @functools.partial(
@@ -591,6 +575,36 @@ def jump_steps_with_dp(
         **kw,
     )(jx, jy, jd, dp_masks[None, :], px, py, d, symclass[None, :])
 
+    sc_out = osc[0]
+    # XLA-level materialization of the deferred-flip sym state (must
+    # mirror the kernel's `deferred` predicate, which sees n = blk):
+    # canonical py/d from the raw outputs + h/sg bits, true captured
+    # distances from step bit 15.  Once per window at XLA level --
+    # in-kernel this work blew the 65536-lane VMEM budget.
+    deferred = symmetry and not _PROBE and (
+        WALKW and blk > WALKW and blk % WALKW == 0
+    )
+    if deferred:
+        h = (sc_out >> jnp.uint32(1)) & jnp.uint32(1)
+        sg = (sc_out >> jnp.uint32(2)) & jnp.uint32(1)
+        sc_out = sc_out & jnp.uint32(1)
+        pyc = field.canonicalize(opy)
+        opy = jnp.where((h == 1)[None, :], field.neg_y(pyc), pyc)
+        od = jnp.where((sg == 1)[None, :], field.neg_u128(od), od)
+        dpd3 = dpd.reshape(slots, 8, n)
+        dst = dstep
+        sgb = (dst >> jnp.uint32(15)) & jnp.uint32(1)     # (slots, n)
+        # neg_u128 operates on (8, N): fold slots into the lane axis
+        dflat = dpd3.transpose(1, 0, 2).reshape(8, slots * n)
+        dneg = field.neg_u128(dflat).reshape(8, slots, n).transpose(
+            1, 0, 2
+        )
+        dpd3 = jnp.where((sgb == 1)[:, None, :], dneg, dpd3)
+        dstep = dst & jnp.uint32(0x7FFF)
+        out = (opx, opy, od, cnt[0], dpx.reshape(slots, XR, n), dpd3,
+               dstep)
+        return out + (sc_out,)
+
     out = (
         opx, opy, od,
         cnt[0],
@@ -599,5 +613,5 @@ def jump_steps_with_dp(
         dstep,
     )
     if symmetry:
-        return out + (osc[0],)
+        return out + (sc_out,)
     return out
