@@ -991,8 +991,19 @@ class KangarooSolver:
                 except Exception:
                     pass  # prewarm is best-effort; the loop compiles lazily
 
-            warm_thread = threading.Thread(target=_prewarm_exec, daemon=True)
-            warm_thread.start()
+            if __import__("os").environ.get("KT_PAR_PREWARM") == "1":
+                # overlapped prewarm: measured to WEDGE through the
+                # axon relay (two threads of one process issuing remote
+                # compiles concurrently hang forever at the RPC layer;
+                # reproduced twice on the 72-bit solve) -- opt-in for
+                # co-located deployments whose compile path is local
+                warm_thread = threading.Thread(
+                    target=_prewarm_exec, daemon=True
+                )
+                warm_thread.start()
+            else:
+                _prewarm_exec()
+                _ph("tick_prewarm")
 
         # Continuation semantics: a repeated solve() on the SAME key
         # keeps the accumulated table/count and continues the walk from
