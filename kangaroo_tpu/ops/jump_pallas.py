@@ -488,15 +488,16 @@ def jump_steps_with_dp(
         symclass = jnp.zeros((n,), dtype=jnp.uint32)
     if not block:
         block = DEFAULT_BLOCK
-        if block > 32768 and slots > 2:
-            # 65536-lane blocks fit VMEM only in 2-slot geometries
-            # (r03 measured slots 4 at 182.6 MiB vs the chip's 128;
-            # each extra slot adds 25 double-buffered output rows);
-            # more slots drop to 32768 (-1% kernel rate).  Symmetry
-            # at 2 slots FITS since the chunked sym tail (r03) matched
-            # the plain geometry: 136.4 raw / 192.9 effective MK/s at
-            # 65536 measured r04 (hw_evidence/sym65536_r04.txt) vs
-            # 131.3/185.7 at 32768 -- the r03 demotion was stale.
+        if block > 32768 and (slots > 2 or symmetry):
+            # 65536-lane blocks fit VMEM only in plain 2-slot
+            # geometries (r03 measured slots 4 at 182.6 MiB vs the
+            # chip's 128; each extra slot adds 25 double-buffered
+            # output rows); those drop to 32768 (-1% kernel rate).
+            # Round 5: the deferred-flip sym kernel measures 136.1 MiB
+            # at 65536 (register-spill dominated, 8 MiB over) even
+            # with the flip materialization at the XLA level, so sym
+            # also runs the 32768 geometry (r04 measured the 65536
+            # premium at only ~4% for sym).
             block = 32768
     blk = min(block, n)
     # blocks must tile the herd: shrink to the largest divisor reachable
