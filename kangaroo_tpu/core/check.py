@@ -125,7 +125,7 @@ def _key_to_search(hdr) -> curve.PointA:
     return hdr.key
 
 
-def check_work_file(path: str, batch: int = 4096) -> CheckReport:
+def check_work_file(path: str, batch: int = 16384) -> CheckReport:
     """-wcheck on a plain work file or a 256-partition directory."""
     from ..io import merge as merge_mod
     from ..io.backup import _r_u32
@@ -169,7 +169,7 @@ def check_work_file(path: str, batch: int = 4096) -> CheckReport:
     return report
 
 
-def check_partitioned(directory: str, batch: int = 4096) -> CheckReport:
+def check_partitioned(directory: str, batch: int = 16384) -> CheckReport:
     """-wcheck on a partitioned work dir (reference: CheckPartition)."""
     from ..io import merge as merge_mod
     from ..io.backup import _r_u32

@@ -449,23 +449,23 @@ class KangarooSolver:
                 backend=backend, symmetry=opts.symmetry, slots=n_slots,
             )
 
-            def tick_fn(px, py, d, sc):
-                return sharded_tick(px, py, d, jx, jy, jd, dp_masks, sc)
+            def base_tick(px, py, d, sc, tjx, tjy, tjd, tmask):
+                return sharded_tick(px, py, d, tjx, tjy, tjd, tmask, sc)
         elif backend == "pallas":
             from ..ops import jump_pallas
 
-            def tick_fn(px, py, d, sc):
+            def base_tick(px, py, d, sc, tjx, tjy, tjd, tmask):
                 # block=None: the kernel picks the default with its
                 # VMEM-aware demotion (slots/symmetry geometry)
                 return jump_pallas.jump_steps_with_dp(
-                    px, py, d, jx, jy, jd, dp_masks,
+                    px, py, d, tjx, tjy, tjd, tmask,
                     nb_run=opts.nb_run,
                     symmetry=opts.symmetry, symclass=sc, slots=n_slots,
                 )
         else:
-            def tick_fn(px, py, d, sc):
+            def base_tick(px, py, d, sc, tjx, tjy, tjd, tmask):
                 return jump_ref.jump_steps_with_dp(
-                    px, py, d, jx, jy, jd, dp_masks,
+                    px, py, d, tjx, tjy, tjd, tmask,
                     nb_run=opts.nb_run, inv_stop=inv_stop,
                     symmetry=opts.symmetry, symclass=sc, slots=n_slots,
                 )
@@ -476,14 +476,18 @@ class KangarooSolver:
             # window axis.  One host round trip then covers kw windows
             # (the relay RTT is the solve loop's main overhead; the
             # walk itself is bit-identical to kw separate ticks).
-            base_tick = tick_fn
+            # The jump tables / dp masks enter as ARGUMENTS, not
+            # captured constants: baked-in table values made the
+            # compiled executable range- and dp-specific, so every new
+            # range recompiled the fused tick (~10 min; observed on
+            # the 76-bit solve after a cached 72-bit one).
             sym = opts.symmetry
 
             @jax.jit
-            def tick_fn(px, py, d, sc):
+            def fused_tick(px, py, d, sc, tjx, tjy, tjd, tmask):
                 def body(carry, _):
                     px, py, d, sc = carry
-                    o = base_tick(px, py, d, sc)
+                    o = base_tick(px, py, d, sc, tjx, tjy, tjd, tmask)
                     sc2 = o[7] if sym else sc
                     return (o[0], o[1], o[2], sc2), (o[3], o[4], o[5], o[6])
 
@@ -494,6 +498,11 @@ class KangarooSolver:
                 if sym:
                     out = out + (sc,)
                 return out
+        else:
+            fused_tick = base_tick
+
+        def tick_fn(px, py, d, sc):
+            return fused_tick(px, py, d, sc, jx, jy, jd, dp_masks)
 
         sink_end = False
 
