@@ -81,6 +81,11 @@ def measure_ingest(n_clients: int = 8, per_batch: int = 5000,
 
     sent = [0] * n_clients
     stop = threading.Event()
+    # cap total volume: the pre-packed senders can queue 100M+ DPs in
+    # the send window, which truncates the absorb deadline and turns
+    # the number into a backlog artifact; ~24M fully absorbed gives a
+    # clean sustained-rate measurement at a realistic table size
+    max_total = 24_000_000
 
     def client(cid: int):
         # Pre-packed wire batches built vectorized (numpy), unique x128
@@ -97,7 +102,7 @@ def measure_ingest(n_clients: int = 8, per_batch: int = 5000,
                           dtype=np.int64).astype(np.uint8)
         rec[:, 6] &= 0x03   # bucket id < 2^18
         rec[:, 7] = 0
-        while not stop.is_set():
+        while not stop.is_set() and sum(sent) < max_total:
             stamp = (base + np.uint64(serial)
                      + np.arange(per_batch, dtype=np.uint64))
             rec[:, 8:16] = stamp.astype("<u8").view(np.uint8).reshape(
@@ -156,13 +161,23 @@ def main() -> None:
     except OSError:
         pass
     kernel_mks = None
-    for name in ("BENCH_r05.json", "BENCH_r04.json", "BENCH_r03.json"):
-        try:
-            with open(os.path.join(here, name)) as f:
-                kernel_mks = json.load(f)["parsed"]["value"]
-            break
-        except Exception:
-            continue
+    try:
+        # this round's committed bench transcript (the driver writes
+        # BENCH_r05.json only at round end)
+        with open(os.path.join(here, "hw_evidence", "bench_r05.txt")) as f:
+            for line in f:
+                if line.startswith("{"):
+                    kernel_mks = json.loads(line)["value"]
+    except Exception:
+        pass
+    if not kernel_mks:
+        for name in ("BENCH_r05.json", "BENCH_r04.json", "BENCH_r03.json"):
+            try:
+                with open(os.path.join(here, name)) as f:
+                    kernel_mks = json.load(f)["parsed"]["value"]
+                break
+            except Exception:
+                continue
     duty = None
     if wall.get("wall_mks") and kernel_mks:
         duty = round(wall["wall_mks"] / kernel_mks, 4)
@@ -190,13 +205,15 @@ def main() -> None:
             "duty_factor": duty,
             "lost_dps": wall.get("lost_dps"),
             "duty_decomposition": (
-                "the wall/kernel gap is per-tick host round trips "
-                "(count readback + DP gather) through this testbed's "
-                "~5 MB/s stdio relay to the remote chip; BENCHMARKS.md "
-                "SS4 itemizes it.  Co-located hosts (the production "
-                "topology; reference GPUs are PCIe-local) pay "
-                "sub-millisecond round trips and duty -> ~0.99, which "
-                "is what the >=85% multi-host claim assumes per chip"
+                "round 5 moved DP compaction on-device: the solve "
+                "makes ONE blocking host read per tick (42 B per "
+                "captured DP + 2 scalars).  The remaining wall/kernel "
+                "gap is that payload transfer through this testbed's "
+                "~5 MB/s stdio relay; BENCHMARKS.md SS4 itemizes it. "
+                "Co-located hosts (the production topology; reference "
+                "GPUs are PCIe-local) move it in sub-millisecond and "
+                "duty -> ~0.99, which is what the >=85% multi-host "
+                "claim assumes per chip"
             ),
         },
         "herd_independence": (
