@@ -237,3 +237,48 @@ class TestCarryChains:
         b = [(1 << 256) - 1, (1 << 256) - 1, 1]
         got = from_dev(field.submod(to_dev(a), to_dev(b)))
         assert_relaxed(got, [(x - y) % P for x, y in zip(a, b)])
+
+
+def test_addsub_sel_matches_add_sub():
+    """Fused lane-select add/sub (deferred-flip sym walk primitive)."""
+    import numpy as np
+    import random
+
+    from kangaroo_tpu.ops import field
+    from kangaroo_tpu.utils.intutils import ints_to_limbs, limbs_to_ints
+
+    random.seed(11)
+    P = field.P
+    n = 64
+    a_i = [random.randrange(1 << 256) % (1 << 256) for _ in range(n)]
+    b_i = [random.randrange(1 << 256) for _ in range(n)]
+    flags = [i % 3 == 0 for i in range(n)]
+    import jax.numpy as jnp
+
+    a = jnp.asarray(ints_to_limbs(a_i))
+    b = jnp.asarray(ints_to_limbs(b_i))
+    f = jnp.asarray(np.array([1 if x else 0 for x in flags], np.uint32))
+    got = limbs_to_ints(np.asarray(field.canonicalize(
+        field.addsub_sel(a, b, f)
+    )))
+    for ai, bi, fl, g in zip(a_i, b_i, flags, got):
+        exp = (ai + bi) % P if fl else (ai - bi) % P
+        assert g == exp
+
+
+def test_carry_out_probe_matches_exact():
+    """Carry-out-only probe == the full exact pass's carry-out."""
+    import numpy as np
+
+    from kangaroo_tpu.ops import field
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    # entry contract: limbs <= 2^17 - 2, mix of carry-rippling values
+    x = rng.randint(0, (1 << 17) - 1, size=(16, 256)).astype(np.uint32)
+    x[:, :32] = 0xFFFF          # all-propagate lanes
+    x[0, :32] = 0x1FFFE         # generate at the bottom -> ripple out
+    xj = jnp.asarray(x)
+    _, out = field._carry_exact_out(xj, 16)
+    probe = field.carry_out_probe(xj, 16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(probe))
