@@ -780,17 +780,16 @@ class KangarooSolver:
         _wlo = np.uint64(_wd2 & 0xFFFFFFFFFFFFFFFF)
         _whi = np.uint64(_wd2 >> 64)
 
-        def drain_native(lanes, wins, x_np, d_np, step_np):
-            """Batch drain into the native C++ table.
+        def encode_records(lanes, wins, x_np, d_np, step_np):
+            """Walk-ordered (m, 36) table records, fully vectorized.
 
-            Fully vectorized packing: device distances become the
-            reference's sign/type-flagged 126-bit D encoding with
-            numpy u64 pairs (identical to true_distance+convert on
-            each item: positive -> mag, negative -> n-|v| which flags
-            the sign bit), then ONE ctypes call inserts the whole
-            batch.  ~0.3 us/DP vs ~4.4 us on the per-item path.
+            Device distances become the reference's sign/type-flagged
+            126-bit D encoding with numpy u64 pairs (identical to
+            true_distance+convert on each item: positive -> mag,
+            negative -> n-|v| which flags the sign bit; parity pinned
+            by tests/test_resume.py native-vs-dict drain tests).
+            Returns (records, lanes_in_walk_order).
             """
-            nonlocal result
             # global step across the kw fused windows of this tick
             steps = step_np.astype(np.int64) + wins * opts.nb_run
             order = np.lexsort((lanes, steps))  # walk order (step, lane)
@@ -832,6 +831,15 @@ class KangarooSolver:
             )
             rec[:, 20:28] = vlo.astype("<u8").view(np.uint8).reshape(m, 8)
             rec[:, 28:36] = dhi.astype("<u8").view(np.uint8).reshape(m, 8)
+            return rec, lanes
+
+        def drain_native(lanes, wins, x_np, d_np, step_np):
+            """Batch drain into the native C++ table: ONE ctypes call
+            per chunk inserts the whole vectorized-encoded batch
+            (~0.3 us/DP vs ~4.4 us on the per-item path)."""
+            nonlocal result
+            rec, lanes = encode_records(lanes, wins, x_np, d_np, step_np)
+            m = rec.shape[0]
             resets = []
             chunk = 32768  # keeps dup/collision report buffers ample
             for off in range(0, m, chunk):
@@ -897,9 +905,28 @@ class KangarooSolver:
                     )
             if lanes is None:
                 return False
-            if dp_sink is None and isinstance(
-                self.hash_table, NativeHashTable
-            ):
+            if dp_sink is not None:
+                # Client mode: ship DPs to the server instead of the
+                # local table (reference: SolveKeyCPU client branch,
+                # Kangaroo.cpp:435-456).  The wire records are built
+                # with the same vectorized encoder as the native drain
+                # (kIdx column = origin lane), no per-record Python.
+                # The sink returns True when the server reports
+                # end-of-search.
+                rec, lanes_o = encode_records(
+                    lanes, wins, x_np, d_np, step_np
+                )
+                m = rec.shape[0]
+                wire = np.empty((m, 40), dtype=np.uint8)
+                wire[:, 0:4] = (
+                    lanes_o.astype("<u4").view(np.uint8).reshape(m, 4)
+                )
+                wire[:, 4:40] = rec
+                if dp_sink(wire.tobytes(), m):
+                    sink_end = True
+                    return True
+                return False
+            if isinstance(self.hash_table, NativeHashTable):
                 return drain_native(lanes, wins, x_np, d_np, step_np)
             # vectorized limb -> int conversion, one column per DP
             xs_i = limbs_to_ints_fast(x_np)
@@ -908,26 +935,6 @@ class KangarooSolver:
             # fills like a sequential replay
             steps = step_np.astype(np.int64) + wins * opts.nb_run
             order = np.lexsort((lanes, steps))
-            if dp_sink is not None:
-                # Client mode: ship DPs to the server instead of the
-                # local table (reference: SolveKeyCPU client branch,
-                # Kangaroo.cpp:435-456).  The sink returns True when
-                # the server reports end-of-search.
-                batch = []
-                for pos in order:
-                    x = int(xs_i[pos])
-                    ddev = int(ds_i[pos])
-                    lane = int(lanes[pos])
-                    ktype = lane % 2
-                    d_modn = herd_mod.true_distance(
-                        ddev, ktype, self.width_div2,
-                        symmetry=opts.symmetry,
-                    )
-                    batch.append((x, d_modn, ktype, lane))
-                if dp_sink(batch):
-                    sink_end = True
-                    return True
-                return False
             resets = []
             for pos in order:
                 x = int(xs_i[pos])

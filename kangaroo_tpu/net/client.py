@@ -193,27 +193,25 @@ def pending_dp_path(work_file: str) -> str:
     return work_file + ".penddp"
 
 
-def save_pending_dps(path: str, records: List[proto.DPRecord]) -> None:
+def save_pending_dps(path: str, raw: bytes) -> None:
+    """raw: concatenated 40-byte wire records."""
     tmp = path + ".tmp"
+    nb = len(raw) // proto.DP_SIZE
     with open(tmp, "wb") as f:
-        f.write(struct.pack("<II", _PENDING_MAGIC, len(records)))
-        for r in records:
-            f.write(r.pack())
+        f.write(struct.pack("<II", _PENDING_MAGIC, nb))
+        f.write(raw[:nb * proto.DP_SIZE])
     os.replace(tmp, path)
 
 
-def load_pending_dps(path: str) -> List[proto.DPRecord]:
+def load_pending_dps(path: str) -> bytes:
+    """Raw concatenated 40-byte wire records (b"" when absent)."""
     if not os.path.exists(path):
-        return []
+        return b""
     with open(path, "rb") as f:
         magic, nb = struct.unpack("<II", f.read(8))
         if magic != _PENDING_MAGIC:
             raise ValueError(f"{path}: not a pending-DP file")
-        data = f.read(proto.DP_SIZE * nb)
-    return [
-        proto.DPRecord.unpack(data[proto.DP_SIZE * i:proto.DP_SIZE * (i + 1)])
-        for i in range(nb)
-    ]
+        return f.read(proto.DP_SIZE * nb)
 
 
 def run_client(
@@ -284,30 +282,33 @@ def run_client(
             )
 
     use_hook = bool(opts.work_file)
-    pending: List[proto.DPRecord] = []
+    pending = bytearray()  # concatenated 40-byte wire records
     pend_path = pending_dp_path(opts.work_file) if opts.work_file else None
     if pend_path:
         try:
             restored_dps = load_pending_dps(pend_path)
         except (OSError, ValueError):
-            restored_dps = []
+            restored_dps = b""
         if restored_dps:
             pending.extend(restored_dps)
             if not quiet:
-                print(f"Re-sending {len(restored_dps)} pending DPs "
-                      f"from {pend_path}")
+                print(f"Re-sending "
+                      f"{len(restored_dps) // proto.DP_SIZE} pending "
+                      f"DPs from {pend_path}")
     last_send = [time.time()]
 
-    def dp_sink(batch) -> bool:
-        for x, d_modn, ktype, lane in batch:
-            h, x128, d128 = convert(x, d_modn, ktype)
-            pending.append(proto.DPRecord(lane, h, x128, d128))
+    def dp_sink(raw: bytes, nb: int) -> bool:
+        # raw: nb pre-encoded 40-byte wire records (the solver builds
+        # them vectorized with the same encoder as the native drain)
+        pending.extend(raw)
         now = time.time()
         if pending and now - last_send[0] >= send_period:
             last_send[0] = now
             while True:
                 try:
-                    status = conn.send_dps(list(pending))
+                    status = conn.send_dps_raw(
+                        bytes(pending), len(pending) // proto.DP_SIZE
+                    )
                     pending.clear()
                     return status == proto.SERVER_END
                 except (OSError, proto.ProtocolError):
@@ -329,7 +330,9 @@ def run_client(
             if not pending:
                 break
             try:
-                status = conn.send_dps(list(pending))
+                status = conn.send_dps_raw(
+                    bytes(pending), len(pending) // proto.DP_SIZE
+                )
                 pending.clear()
                 ended = status == proto.SERVER_END
             except (OSError, proto.ProtocolError):
@@ -347,10 +350,11 @@ def run_client(
         if pend_path:
             if pending and not ended:
                 try:
-                    save_pending_dps(pend_path, pending)
+                    save_pending_dps(pend_path, bytes(pending))
                     if not quiet:
-                        print(f"Saved {len(pending)} unsent DPs to "
-                              f"{pend_path}")
+                        print(f"Saved "
+                              f"{len(pending) // proto.DP_SIZE} unsent "
+                              f"DPs to {pend_path}")
                 except OSError:
                     pass
             elif os.path.exists(pend_path):

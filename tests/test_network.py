@@ -339,14 +339,14 @@ def test_pending_dp_persistence_and_resend(tmp_path, monkeypatch):
 
     # sabotage every send: the first client run captures DPs but can
     # never deliver them, then dies mid-run with a simulated crash
-    real_send = ServerConnection.send_dps
+    real_send = ServerConnection.send_dps_raw
 
-    def broken_send(self, records, thread_id=0, gpu_id=0):
-        if records and any(r.h or r.x128 for r in records):
+    def broken_send(self, payload, nb, thread_id=0, gpu_id=0):
+        if nb and any(payload):
             raise OSError("simulated mid-send connection loss")
-        return real_send(self, records, thread_id, gpu_id)
+        return real_send(self, payload, nb, thread_id, gpu_id)
 
-    monkeypatch.setattr(ServerConnection, "send_dps", broken_send)
+    monkeypatch.setattr(ServerConnection, "send_dps_raw", broken_send)
     # wait_for_server would loop forever against the healthy server;
     # make reconnects fail fast so run_client aborts with pending DPs
     monkeypatch.setattr(
@@ -371,7 +371,7 @@ def test_pending_dp_persistence_and_resend(tmp_path, monkeypatch):
 
     # second run with a healthy connection: the sidecar is re-sent
     # first and removed; the solve completes from the combined DPs
-    monkeypatch.setattr(ServerConnection, "send_dps", real_send)
+    monkeypatch.setattr(ServerConnection, "send_dps_raw", real_send)
     monkeypatch.undo()
     monkeypatch.chdir(tmp_path)
     opts2 = SolverOptions(
